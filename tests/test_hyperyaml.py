@@ -1,0 +1,158 @@
+"""Config kernel semantics tests.
+
+Each case mirrors a documented behavior of the reference's vendored
+HyperPyYAML (reference ``src/hyperpyyaml/core.py``) that the recipes depend
+on: refs with arithmetic and interpolation, shared-object refs, copies,
+placeholders, include-with-overrides, tuples, and the tagged-scalar override
+channel used by ``--model !include:...`` (reference ``test.sh:8``).
+"""
+import collections
+
+import pytest
+
+from mlvae_tpu.hyperyaml import load_hyperyaml, recursive_update
+from mlvae_tpu.hyperyaml.loader import _parse_tagged, TaggedValue
+from mlvae_tpu.hyperyaml.registry import register
+
+
+def test_basic_ref_and_arithmetic():
+    y = """
+a: 3
+b: !ref <a>
+c: !ref <a> * 2 + 1
+d: !ref <a> // 2
+e: results/<nothing
+"""
+    h = load_hyperyaml(y)
+    assert h["b"] == 3
+    assert h["c"] == 7
+    assert h["d"] == 1
+
+
+def test_string_interpolation():
+    y = """
+name: exp1
+out: !ref results/<name>/ckpt
+"""
+    h = load_hyperyaml(y)
+    assert h["out"] == "results/exp1/ckpt"
+
+
+def test_chained_refs_preserve_type():
+    y = """
+a: 3.5
+b: !ref <a>
+c: !ref <b>
+"""
+    h = load_hyperyaml(y)
+    assert h["c"] == 3.5 and isinstance(h["c"], float)
+
+
+def test_new_constructs_object():
+    y = """
+a: 3
+thing: !new:collections.Counter
+    b: !ref <a>
+"""
+    h = load_hyperyaml(y)
+    assert h["thing"] == collections.Counter(b=3)
+
+
+def test_shared_ref_same_object():
+    y = """
+enc: !new:collections.Counter
+    x: 1
+modules:
+    enc: !ref <enc>
+recoverables:
+    enc: !ref <enc>
+"""
+    h = load_hyperyaml(y)
+    assert h["modules"]["enc"] is h["enc"]
+    assert h["recoverables"]["enc"] is h["enc"]
+
+
+def test_copy_makes_distinct_object():
+    y = """
+enc: !new:collections.Counter
+    x: 1
+other: !copy <enc>
+"""
+    h = load_hyperyaml(y)
+    assert h["other"] == h["enc"]
+    assert h["other"] is not h["enc"]
+
+
+def test_placeholder_raises():
+    with pytest.raises(ValueError):
+        load_hyperyaml("a: !PLACEHOLDER")
+
+
+def test_placeholder_overridden_ok():
+    h = load_hyperyaml("a: !PLACEHOLDER", overrides={"a": 5})
+    assert h["a"] == 5
+
+
+def test_tuple_implicit():
+    h = load_hyperyaml("a: (3, 4)")
+    assert h["a"] == (3, 4)
+
+
+def test_name_partial():
+    y = """
+fn: !name:builtins.round
+    ndigits: 2
+"""
+    h = load_hyperyaml(y)
+    assert h["fn"](3.14159) == 3.14
+
+
+def test_apply_called_at_load():
+    calls = []
+    register("testing.record", lambda v: calls.append(v) or v)
+    h = load_hyperyaml("__x: !apply:testing.record [42]\ny: 1")
+    assert calls == [42]
+    assert "__x" not in h  # double-underscore keys removed
+
+
+def test_include_with_child_overrides(tmp_path):
+    inc = tmp_path / "model.yaml"
+    inc.write_text("size: !PLACEHOLDER\ndouble: !ref <size> * 2\n")
+    main = tmp_path / "run.yaml"
+    main.write_text(
+        "n: 8\n"
+        "model: !PLACEHOLDER\n"
+        "    size: !ref <n>\n"
+    )
+    # simulate CLI override: model tag replaced by !include:, children kept
+    overrides = _parse_tagged("model: !include:model.yaml")
+    with open(main) as f:
+        h = load_hyperyaml(f, overrides=overrides)
+    assert h["model"]["size"] == 8
+    assert h["model"]["double"] == 16
+
+
+def test_recursive_update_nested():
+    d = {"a": 1, "b": {"c": 2}}
+    recursive_update(d, {"b": {"d": 3}})
+    assert d == {"a": 1, "b": {"c": 2, "d": 3}}
+
+
+def test_attribute_ref():
+    y = """
+thing: !new:fractions.Fraction
+    numerator: 3
+    denominator: 4
+num: !ref <thing.numerator>
+"""
+    h = load_hyperyaml(y)
+    assert h["num"] == 3
+
+
+def test_overrides_affect_refs():
+    y = """
+a: 3
+b: !ref <a> * 2
+"""
+    h = load_hyperyaml(y, overrides={"a": 5})
+    assert h["b"] == 10
