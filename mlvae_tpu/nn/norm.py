@@ -1,0 +1,94 @@
+"""Input normalization with running global statistics.
+
+YAML-visible replacement for SpeechBrain's ``InputNormalization``
+(``!new:speechbrain.processing.features.InputNormalization`` in every
+recipe, e.g. reference ``models/MD_VAE/model.yaml:6-7``).
+
+Functional design: statistics are explicit state threaded through the train
+step, so the whole step stays jittable.  Semantics follow SpeechBrain's
+``norm_type: global``: per-utterance masked mean/std are folded into running
+averages while training (until ``update_until_epoch``), and every utterance
+is normalized by the current global stats.  We fold a whole batch at once
+(order-free) instead of SpeechBrain's per-sample sequential update; the
+running averages converge to the same values.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from mlvae_tpu.nn.core import Module
+from mlvae_tpu.utils.tensor import length_mask
+
+
+class InputNormalization(Module):
+    def __init__(
+        self,
+        mean_norm: bool = True,
+        std_norm: bool = True,
+        norm_type: str = "global",
+        update_until_epoch: int = 3,
+    ):
+        super().__init__()
+        if norm_type not in ("global", "sentence", "batch"):
+            raise ValueError(f"unsupported norm_type: {norm_type}")
+        self.mean_norm = mean_norm
+        self.std_norm = std_norm
+        self.norm_type = norm_type
+        self.update_until_epoch = update_until_epoch
+
+    def init_state(self, feat_dim: int) -> Dict[str, jnp.ndarray]:
+        return {
+            "count": jnp.zeros((), jnp.float32),
+            "glob_mean": jnp.zeros((feat_dim,), jnp.float32),
+            "glob_std": jnp.ones((feat_dim,), jnp.float32),
+        }
+
+    def apply(self, state, feats, rel_lens, epoch=1, update: bool = False):
+        """Normalize (B, T, C) feats; returns (normed, new_state)."""
+        eps = 1e-10
+        B, T, C = feats.shape
+        mask = length_mask(rel_lens, T, dtype=feats.dtype)[..., None]  # (B,T,1)
+        denom = jnp.maximum(mask.sum(axis=(1,)), 1.0)  # (B, 1)
+        cur_mean = (feats * mask).sum(axis=1) / denom  # (B, C)
+        var = ((feats - cur_mean[:, None, :]) ** 2 * mask).sum(axis=1) / denom
+        cur_std = jnp.sqrt(jnp.maximum(var, eps))  # (B, C)
+
+        if self.norm_type == "sentence":
+            out = (feats - cur_mean[:, None, :]) / cur_std[:, None, :]
+            return out, state
+
+        if self.norm_type == "batch":
+            bmean = cur_mean.mean(axis=0)
+            bstd = jnp.maximum(cur_std.mean(axis=0), eps)
+            out = (feats - bmean) / bstd
+            return out, state
+
+        # global: fold batch stats into running averages when updating
+        count = state["count"]
+        do_update = jnp.asarray(
+            update and True, jnp.float32
+        ) * (jnp.asarray(epoch, jnp.float32) <= self.update_until_epoch)
+        new_count = count + do_update * B
+        w_old = jnp.where(new_count > 0, count / jnp.maximum(new_count, 1.0), 0.0)
+        w_new = jnp.where(new_count > 0, 1.0 - w_old, 0.0)
+        upd_mean = w_old * state["glob_mean"] + w_new * cur_mean.mean(axis=0)
+        upd_std = w_old * state["glob_std"] + w_new * cur_std.mean(axis=0)
+        # first-ever batch: adopt batch stats entirely
+        first = (count == 0) & (do_update > 0)
+        glob_mean = jnp.where(first, cur_mean.mean(axis=0), jnp.where(do_update > 0, upd_mean, state["glob_mean"]))
+        glob_std = jnp.where(first, cur_std.mean(axis=0), jnp.where(do_update > 0, upd_std, state["glob_std"]))
+        glob_std = jnp.maximum(glob_std, eps)
+
+        out = feats
+        if self.mean_norm:
+            out = out - glob_mean
+        if self.std_norm:
+            out = out / glob_std
+        new_state = {
+            "count": new_count,
+            "glob_mean": glob_mean,
+            "glob_std": glob_std,
+        }
+        return out, new_state

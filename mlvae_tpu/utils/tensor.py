@@ -1,0 +1,130 @@
+"""Tensor utilities (TPU equivalents of reference ``src/utils/data_utils.py``).
+
+All functions are jit-safe (static shapes, no data-dependent Python control
+flow) unless documented as host-side helpers.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def abs_lengths(rel_lens, max_len: int):
+    """Relative (0..1] lengths -> absolute frame counts, torch.round semantics
+    (round-half-to-even, which jnp.round also implements).
+
+    Reference convention at ``decode_utils.py:407-409``, ``data_utils.py:26``.
+    """
+    return jnp.round(rel_lens * max_len).astype(jnp.int32)
+
+
+def length_mask(rel_lens, max_len: int, dtype=jnp.float32):
+    """(B,) relative lengths -> (B, max_len) 0/1 mask."""
+    lens = abs_lengths(rel_lens, max_len)
+    idx = jnp.arange(max_len)[None, :]
+    return (idx < lens[:, None]).astype(dtype)
+
+
+def apply_weight(x, weight):
+    """Mixture collapse: contract component axis N with weights.
+
+    x: (B, T, N, C) or (B, T, N*C); weight: (B, T, N) -> (B, T, C).
+
+    The reference routes this through a batched bmm
+    (``data_utils.py:32-64``); on TPU a single einsum lets XLA fuse it into
+    neighboring ops.
+    """
+    B, T, N = weight.shape
+    if x.ndim == 3:
+        C = x.shape[-1] // N
+        x = x.reshape(B, T, N, C)
+    return jnp.einsum("btnc,btn->btc", x, weight,
+                      preferred_element_type=x.dtype)
+
+
+def apply_lens_to_loss(loss, rel_lens, reduction: str = "mean"):
+    """Masked loss reduction with the reference's relative-lens convention
+    (``data_utils.py:67-104``).
+
+    loss: (B, T) or (B, T, C...); rel_lens: (B,).
+    """
+    T = loss.shape[1]
+    mask = length_mask(rel_lens, T, dtype=loss.dtype)  # (B, T)
+    while mask.ndim < loss.ndim:
+        mask = mask[..., None]
+    mask = jnp.broadcast_to(mask, loss.shape)
+    masked = loss * mask
+    B = loss.shape[0]
+    if reduction == "mean":
+        return jnp.sum(masked) / jnp.sum(mask)
+    if reduction == "batchmean":
+        return jnp.sum(masked) / B
+    if reduction == "batch":
+        return masked.reshape(B, -1).sum(-1) / mask.reshape(B, -1).sum(-1)
+    raise ValueError(f"unknown reduction: {reduction}")
+
+
+def undo_padding(batch, rel_lens) -> List:
+    """Host-side: padded (B, T, ...) array -> list of trimmed np arrays."""
+    batch = np.asarray(batch)
+    rel_lens = np.asarray(rel_lens)
+    T = batch.shape[1]
+    out = []
+    for seq, l in zip(batch, rel_lens):
+        n = int(np.round(float(l) * T))
+        out.append(seq[:n])
+    return out
+
+
+def resample_by_factor(source, target_len: int, axis: int = 1, tol: int = 3):
+    """Integer-factor repeat resampling with +-tol trim/zero-pad, matching
+    reference ``data_utils.py:107-156`` (used to align wav2vec frame rates).
+    """
+    src_len = source.shape[axis]
+    factor = target_len // src_len
+    if factor <= 0:
+        raise ValueError(
+            f"non-positive factor for input lengths: {src_len} and {target_len}"
+        )
+    out = jnp.repeat(source, factor, axis=axis)
+    diff = out.shape[axis] - target_len
+    if not -tol <= diff <= tol:
+        raise ValueError(
+            f"length difference between resampled and target too large: {diff}"
+        )
+    if diff > 0:
+        out = jnp.take(out, jnp.arange(target_len), axis=axis)
+    elif diff < 0:
+        pad_widths = [(0, 0)] * out.ndim
+        pad_widths[axis] = (0, -diff)
+        out = jnp.pad(out, pad_widths)
+    return out
+
+
+def boundary_seq_to_seg_seq(boundary_seq) -> np.ndarray:
+    """Host-side: binary start-frame indicators -> (L, 2) [start, end) pairs.
+
+    Matches reference ``data_utils.py:159-181`` including its quirk that the
+    final segment's end is ``len(boundary_index_seq)`` (the phoneme count).
+    """
+    boundary_seq = np.asarray(boundary_seq)
+    idx = np.where(boundary_seq == 1)[0]
+    seg = []
+    for i in range(len(idx) - 1):
+        seg.append([idx[i], idx[i + 1]])
+    seg.append([idx[-1], len(idx)])
+    return np.asarray(seg)
+
+
+def boundary_to_phoneme_index(boundary_seqs):
+    """(B, T) binary start indicators -> (B, T) phoneme index per frame.
+
+    TPU-native replacement for the reference's per-sample
+    ``torch.repeat_interleave`` expansion loop
+    (``phoneme_recognizer.py:52-77``): ``cumsum(boundary)-1`` assigns every
+    frame the index of the latest started phoneme in O(T) vectorized work.
+    """
+    idx = jnp.cumsum(boundary_seqs.astype(jnp.int32), axis=1) - 1
+    return jnp.maximum(idx, 0)
