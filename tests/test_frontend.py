@@ -1,0 +1,159 @@
+"""Front-end parity tests.
+
+Gate from BASELINE.md: fused XLA path within 1e-4 max rel-err of the golden
+reference.  The golden's SB-mode STFT is itself cross-checked against
+torch.stft (independent implementation of the same documented semantics).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import torch
+
+from mlvae_tpu.ops import frontend_ref as ref
+from mlvae_tpu.ops.fbank import (
+    kaldi_fbank_batch,
+    kaldi_frame_counts,
+    sb_fbank_batch,
+    deltas_batch,
+    Fbank,
+    KaldiFbank,
+)
+
+
+def _wave(n, seed=0, scale=8000.0):
+    rs = np.random.RandomState(seed)
+    # speech-scale int16-ish values with some structure
+    t = np.arange(n) / 16000.0
+    sig = np.sin(2 * np.pi * 220 * t) + 0.3 * np.sin(2 * np.pi * 1330 * t)
+    return (scale * sig + 100.0 * rs.randn(n)).astype(np.float32)
+
+
+def _relerr(a, b):
+    denom = np.maximum(np.abs(b), 1e-3)
+    return np.max(np.abs(a - b) / denom)
+
+
+def test_kaldi_fbank_jax_matches_golden():
+    for L, seed in [(16000, 0), (12345, 1), (7003, 2)]:
+        w = _wave(L, seed)
+        golden = ref.kaldi_fbank(w)
+        T = golden.shape[0]
+        Lpad = 32000
+        waves = jnp.asarray(np.pad(w, (0, Lpad - L))[None])
+        max_frames = int(kaldi_frame_counts(Lpad, 320))
+        got, n_frames = kaldi_fbank_batch(
+            waves, jnp.asarray([L]), max_frames=max_frames
+        )
+        assert int(n_frames[0]) == T
+        got = np.asarray(got[0, :T])
+        assert _relerr(got, golden) < 1e-4
+
+
+def test_kaldi_fbank_batch_mixed_lengths():
+    w1, w2 = _wave(16000, 3), _wave(9000, 4)
+    g1, g2 = ref.kaldi_fbank(w1), ref.kaldi_fbank(w2)
+    Lpad = 16000
+    waves = np.zeros((2, Lpad), np.float32)
+    waves[0] = w1
+    waves[1, :9000] = w2
+    max_frames = int(kaldi_frame_counts(Lpad, 320))
+    got, n_frames = kaldi_fbank_batch(
+        jnp.asarray(waves), jnp.asarray([16000, 9000]), max_frames=max_frames
+    )
+    assert int(n_frames[0]) == g1.shape[0] and int(n_frames[1]) == g2.shape[0]
+    assert _relerr(np.asarray(got[0, : g1.shape[0]]), g1) < 1e-4
+    assert _relerr(np.asarray(got[1, : g2.shape[0]]), g2) < 1e-4
+    # padding region zeroed
+    assert np.abs(np.asarray(got[1, g2.shape[0]:])).max() == 0.0
+
+
+def test_kaldi_deltas_match_golden():
+    w = _wave(8000, 5)
+    f = ref.kaldi_fbank(w)
+    golden = ref.kaldi_deltas(f)
+    T = f.shape[0]
+    got = deltas_batch(jnp.asarray(f)[None], jnp.asarray([T]))
+    np.testing.assert_allclose(np.asarray(got[0]), golden, rtol=1e-4, atol=1e-4)
+
+
+def test_cmvn_round_trip():
+    utts = [ref.kaldi_fbank(_wave(8000, s)) for s in range(3)]
+    total, sq, count = ref.cmvn_stats(utts)
+    # exact contract: (x - mean) / sqrt(sq/count - mean^2)
+    mean = total / count
+    std = np.sqrt(np.maximum(sq / count - mean ** 2, 1e-20))
+    np.testing.assert_allclose(
+        ref.apply_cmvn(utts[0], total, sq, count),
+        (utts[0] - mean) / std, rtol=1e-5, atol=1e-5,
+    )
+    # pooled stats after normalization: ~zero mean, ~unit std (tolerance
+    # covers the float32 sufficient-statistics cancellation Kaldi also has)
+    allf = np.concatenate([ref.apply_cmvn(u, total, sq, count) for u in utts])
+    assert np.abs(allf.mean(0)).max() < 1e-2
+    # restrict unit-std check to dims where float32 cancellation is negligible
+    raw_var = np.concatenate(utts).astype(np.float64).var(0)
+    solid = raw_var > 1e-2
+    assert solid.sum() > 10
+    np.testing.assert_allclose(allf.std(0)[solid], 1.0, atol=0.05)
+
+
+def test_sb_golden_stft_matches_torch():
+    """Validate the golden's framing/window/power against torch.stft with the
+    documented SpeechBrain settings (center=True, constant pad, periodic
+    hamming, power spectrum)."""
+    w = _wave(6400, 6, scale=1.0)
+    n_fft, hop = 400, 320
+    tspec = torch.stft(
+        torch.from_numpy(w), n_fft=n_fft, hop_length=hop, win_length=n_fft,
+        window=torch.hamming_window(n_fft), center=True, pad_mode="constant",
+        normalized=False, onesided=True, return_complex=True,
+    )
+    tpow = (tspec.real ** 2 + tspec.imag ** 2).numpy().T  # (T, bins)
+
+    # golden internals: recompute power the same way sb_fbank does
+    pad = n_fft // 2
+    padded = np.concatenate([np.zeros(pad), w, np.zeros(pad)])
+    T = len(w) // hop + 1
+    j = np.arange(T)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = padded[np.minimum(j, len(padded) - 1)]
+    ham = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    power = np.abs(np.fft.rfft(frames * ham, axis=1)) ** 2
+
+    assert power.shape[0] == tpow.shape[0]
+    np.testing.assert_allclose(power, tpow, rtol=1e-3, atol=1e-3)
+
+
+def test_sb_fbank_jax_matches_golden():
+    w = _wave(9600, 7)
+    golden = ref.sb_fbank(w)
+    T = golden.shape[0]
+    Lpad = 16000
+    waves = jnp.asarray(np.pad(w, (0, Lpad - len(w)))[None])
+    got, n_frames = sb_fbank_batch(
+        waves, jnp.asarray([len(w)]), max_frames=Lpad // 320 + 1
+    )
+    assert int(n_frames[0]) == T
+    assert _relerr(np.asarray(got[0, :T]), golden) < 1e-4
+
+
+def test_sb_fbank_with_deltas_dim():
+    w = _wave(8000, 8)
+    golden = ref.sb_fbank_with_deltas(w)
+    fb = Fbank(deltas=True)
+    got = np.asarray(fb(w[None]))[0]
+    assert got.shape[1] == 120
+    T = golden.shape[0]
+    assert abs(got.shape[0] - T) <= 1
+    np.testing.assert_allclose(got[:T], golden, rtol=1e-3, atol=1e-3)
+
+
+def test_kaldi_fbank_class_matches_pipeline():
+    w = _wave(10000, 9)
+    golden = ref.kaldi_deltas(ref.kaldi_fbank(w))
+    kf = KaldiFbank()
+    got = np.asarray(kf(w[None]))[0]
+    T = golden.shape[0]
+    assert got.shape[0] == T
+    np.testing.assert_allclose(got, golden, rtol=1e-3, atol=1e-3)
