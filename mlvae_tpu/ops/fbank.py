@@ -112,12 +112,15 @@ def kaldi_fbank_batch(
     frames = frames * ham
 
     re = jnp.einsum("btw,wk->btk", frames, cos_m,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     im = jnp.einsum("btw,wk->btk", frames, sin_m,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     power = re * re + im * im
     mel = jnp.einsum("btk,km->btm", power, banks,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     logmel = jnp.log(jnp.maximum(mel, ref.EPS_F32))
 
     valid = (jnp.arange(max_frames)[None, :] < n_frames[:, None])
@@ -187,12 +190,15 @@ def sb_fbank_batch(
     frames = jnp.where(inside, frames, 0.0) * ham
 
     re = jnp.einsum("btw,wk->btk", frames, cos_m,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     im = jnp.einsum("btw,wk->btk", frames, sin_m,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     power = re * re + im * im
     mel = jnp.einsum("btk,km->btm", power, banks,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
 
     valid = (jnp.arange(max_frames)[None, :] < n_frames[:, None])
