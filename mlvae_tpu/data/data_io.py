@@ -1,0 +1,296 @@
+"""Dataset assembly: annotation JSON -> computed (cached) datasets.
+
+Capability parity with reference ``utils/data_io.py``: the same 24 output
+keys, duration-sorted datasets, a pickled computed-dataset cache, phoneme
+prior computed over the train set, and the saved-MD-results cleaning step.
+
+TPU-native differences:
+* the "kaldi feature" path runs our in-framework front-end
+  (``mlvae_tpu.ops.fbank.KaldiFbank`` + per-speaker CMVN) instead of four
+  Kaldi subprocesses (reference ``data_io_utils.py:99-206``);
+* audio loads through the stdlib WAV reader (no librosa) and features come
+  from the fused XLA extractor;
+* everything cached is numpy, ready for zero-copy batching into device
+  buffers.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import pickle
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from mlvae_tpu.data.annotations import (
+    apply_boundary_saved_md_results,
+    apply_flvl_saved_md_results,
+    apply_plvl_saved_md_results,
+    generate_boundary_seq,
+    generate_flvl_annotation,
+)
+from mlvae_tpu.data.dataset import DynamicItemDataset
+from mlvae_tpu.data.encoder import LabelEncoder, get_label_encoder
+from mlvae_tpu.data.wav import read_wav, resample
+from mlvae_tpu.ops import frontend_ref
+from mlvae_tpu.ops.fbank import KaldiFbank
+
+logger = logging.getLogger(__name__)
+
+SET_NAMES = ["train", "valid", "test"]
+
+# Reference output-key inventory (utils/data_io.py:24-37)
+OUTPUT_KEYS = [
+    "id",
+    "wav", "aug_wav",
+    "duration",
+    "feat", "aug_feat",
+    "kaldi_feat", "aug_kaldi_feat",
+    "gt_phn_seq", "gt_cnncl_seq",
+    "flvl_gt_phn_seq", "flvl_gt_cnncl_seq",
+    "aug_flvl_gt_phn_seq", "aug_flvl_gt_cnncl_seq",
+    "plvl_gt_md_lbl_seq", "flvl_gt_md_lbl_seq", "aug_flvl_gt_md_lbl_seq",
+    "gt_seg_seq", "gt_boundary_seq", "gt_phn_end_seq",
+    "fa_seg_seq", "fa_boundary_seq", "fa_phn_end_seq",
+    "prior",
+]
+
+
+# ---------------------------------------------------------------------------
+# native Kaldi-equivalent feature pass (fbank + deltas + speaker CMVN)
+# ---------------------------------------------------------------------------
+
+def compute_kaldi_features(hparams, set_name: str) -> Dict[str, np.ndarray]:
+    """Two passes over a set: extract fbank+deltas per utterance, then apply
+    per-speaker CMVN (norm_vars) using the utt2spk mapping."""
+    dataset_dir = Path(hparams["prepare"]["dataset_dir"]).parent
+    kaldi_dir = dataset_dir / "kaldi_data"
+    fp = hparams["kaldi_feature_params"]
+    extractor = KaldiFbank(
+        sample_rate=fp["sample_rate"], hop_length=fp["hop_length"],
+        n_fft=fp["n_fft"], n_mels=fp["n_mels"],
+    )
+
+    utt2spk: Dict[str, str] = {}
+    with open(kaldi_dir / f"{set_name}.utt2spk") as f:
+        for line in f:
+            utt_id, spk = line.split()
+            utt2spk[utt_id] = spk
+    wav_paths: Dict[str, str] = {}
+    with open(kaldi_dir / f"{set_name}.wav.scp") as f:
+        for line in f:
+            utt_id, path = line.split(None, 1)
+            wav_paths[utt_id] = path.strip()
+
+    feats: Dict[str, np.ndarray] = {}
+    for utt_id, path in wav_paths.items():
+        wav, sr = read_wav(path)
+        if sr != fp["sample_rate"]:
+            wav = resample(wav, sr, fp["sample_rate"])
+        # Kaldi operates on int16-scale samples
+        feats[utt_id] = np.asarray(extractor((wav * 32768.0)[None]))[0]
+
+    # per-speaker sufficient statistics
+    by_spk: Dict[str, List[str]] = {}
+    for utt_id, spk in utt2spk.items():
+        by_spk.setdefault(spk, []).append(utt_id)
+    for spk, utt_ids in by_spk.items():
+        total, sq, count = frontend_ref.cmvn_stats(
+            [feats[u] for u in utt_ids]
+        )
+        for u in utt_ids:
+            feats[u] = frontend_ref.apply_cmvn(feats[u], total, sq, count)
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly
+# ---------------------------------------------------------------------------
+
+def data_io_prep(hparams):
+    def dataset_prep(set_name: str) -> DynamicItemDataset:
+        ds = DynamicItemDataset.from_json(
+            hparams["prepare"][f"{set_name}_json_path"]
+        )
+        if hparams.get("sorting") in ("ascending", "descending"):
+            ds = ds.filtered_sorted(
+                sort_key="duration",
+                reverse=hparams["sorting"] == "descending",
+            )
+            if "train_dataloader_opts" in hparams:
+                hparams["train_dataloader_opts"]["shuffle"] = False
+        return ds
+
+    datasets = [dataset_prep(name) for name in SET_NAMES]
+    label_encoder = get_label_encoder(hparams)
+
+    # preloaded Kaldi-equivalent features (reference preloads ark contents,
+    # data_io.py:171-176)
+    kaldi_feats: Dict[str, np.ndarray] = {}
+    for set_name in SET_NAMES:
+        kaldi_feats.update(compute_kaldi_features(hparams, set_name))
+
+    sr = hparams["sample_rate"]
+    compute_features = hparams["compute_features"]
+    augmentation = hparams.get("augmentation")
+
+    def kaldi_feat_pipeline(utt_id):
+        yield kaldi_feats[utt_id]
+        yield kaldi_feats[utt_id]
+
+    def audio_pipeline(wav_path, kaldi_feat):
+        wav, file_sr = read_wav(wav_path)
+        if file_sr != sr:
+            wav = resample(wav, file_sr, sr)
+        yield wav
+        feat = np.asarray(compute_features(wav[None]))[0]
+        if feat.shape[0] != kaldi_feat.shape[0]:
+            assert feat.shape[0] - kaldi_feat.shape[0] == 1
+            feat = feat[: kaldi_feat.shape[0]]
+        yield feat
+        aug_wav = wav if augmentation is None else np.asarray(
+            augmentation(wav[None])
+        )[0]
+        yield aug_wav
+        aug_feat = np.asarray(compute_features(aug_wav[None]))[0]
+        if aug_feat.shape[0] != kaldi_feat.shape[0]:
+            assert aug_feat.shape[0] - kaldi_feat.shape[0] == 1
+            aug_feat = aug_feat[: kaldi_feat.shape[0]]
+        yield aug_feat
+
+    def flvl_pipeline_for(txt_key):
+        def fn(feat, aug_feat, duration, seg_seq, txt_seq):
+            ids = label_encoder.encode_sequence(txt_seq)
+            yield ids
+            yield generate_flvl_annotation(
+                label_encoder, feat.shape[0], duration, seg_seq, ids
+            )
+            yield generate_flvl_annotation(
+                label_encoder, aug_feat.shape[0], duration, seg_seq, ids
+            )
+        return fn
+
+    def plvl_md_pipeline(gt_phn_seq, gt_cnncl_seq):
+        return (np.asarray(gt_phn_seq) != np.asarray(gt_cnncl_seq)).astype(np.int64)
+
+    def flvl_md_pipeline(flvl_phn, flvl_cnncl, aug_flvl_phn, aug_flvl_cnncl):
+        yield (np.asarray(flvl_phn) != np.asarray(flvl_cnncl)).astype(np.int64)
+        yield (np.asarray(aug_flvl_phn) != np.asarray(aug_flvl_cnncl)).astype(np.int64)
+
+    def boundary_pipeline_for():
+        def fn(feat, duration, seg_seq):
+            boundary, phn_end = generate_boundary_seq(
+                feat.shape[0], duration, seg_seq
+            )
+            yield boundary
+            yield phn_end
+        return fn
+
+    for ds in datasets:
+        ds.add_dynamic_item(kaldi_feat_pipeline, ["id"],
+                            ["kaldi_feat", "aug_kaldi_feat"])
+        ds.add_dynamic_item(audio_pipeline, ["wav_path", "kaldi_feat"],
+                            ["wav", "feat", "aug_wav", "aug_feat"])
+        ds.add_dynamic_item(
+            flvl_pipeline_for("txt_gt_phn_seq"),
+            ["feat", "aug_feat", "duration", "gt_seg_seq", "txt_gt_phn_seq"],
+            ["gt_phn_seq", "flvl_gt_phn_seq", "aug_flvl_gt_phn_seq"],
+        )
+        ds.add_dynamic_item(
+            flvl_pipeline_for("txt_gt_cnncl_seq"),
+            ["feat", "aug_feat", "duration", "gt_seg_seq", "txt_gt_cnncl_seq"],
+            ["gt_cnncl_seq", "flvl_gt_cnncl_seq", "aug_flvl_gt_cnncl_seq"],
+        )
+        ds.add_dynamic_item(plvl_md_pipeline, ["gt_phn_seq", "gt_cnncl_seq"],
+                            ["plvl_gt_md_lbl_seq"])
+        ds.add_dynamic_item(
+            flvl_md_pipeline,
+            ["flvl_gt_phn_seq", "flvl_gt_cnncl_seq",
+             "aug_flvl_gt_phn_seq", "aug_flvl_gt_cnncl_seq"],
+            ["flvl_gt_md_lbl_seq", "aug_flvl_gt_md_lbl_seq"],
+        )
+        ds.add_dynamic_item(boundary_pipeline_for(),
+                            ["feat", "duration", "gt_seg_seq"],
+                            ["gt_boundary_seq", "gt_phn_end_seq"])
+        ds.add_dynamic_item(boundary_pipeline_for(),
+                            ["feat", "duration", "fa_seg_seq"],
+                            ["fa_boundary_seq", "fa_phn_end_seq"])
+
+    # phoneme prior over train canonicals (reference data_io.py:289-311)
+    train_ds = datasets[0]
+    prior = np.zeros(len(label_encoder), np.float32)
+    for utt_id in train_ds.ids:
+        for p in train_ds.compute_sample(utt_id, ["gt_cnncl_seq"])["gt_cnncl_seq"]:
+            prior[int(p)] += 1
+    prior /= prior.sum()
+
+    for ds in datasets:
+        ds.add_dynamic_item(lambda: prior, [], ["prior"])
+        ds.set_output_keys(OUTPUT_KEYS)
+
+    return datasets
+
+
+def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
+    logger.info("Preparing datasets.")
+    dataset_dir = Path(hparams["prepare"]["dataset_dir"]).parent
+    computed_dir = dataset_dir / "computed_dataset"
+
+    to_prepare = any(
+        not (computed_dir / f"{s}.pkl").exists() for s in SET_NAMES
+    )
+    if to_prepare:
+        logger.info("Computing datasets (cache miss).")
+        datasets = data_io_prep(hparams)
+        computed_dir.mkdir(parents=True, exist_ok=True)
+        for set_name, ds in zip(SET_NAMES, datasets):
+            computed = {}
+            for utt_id in ds.ids:
+                sample = ds.compute_sample(utt_id)
+                computed[utt_id] = {k: v for k, v in sample.items()
+                                    if k != "id"}
+            with open(computed_dir / f"{set_name}.pkl", "wb") as f:
+                pickle.dump(computed, f)
+
+    computed_datasets = []
+    for set_name in SET_NAMES:
+        with open(computed_dir / f"{set_name}.pkl", "rb") as f:
+            computed = pickle.load(f)
+
+        if hparams.get("apply_saved_md_results", False) and \
+                hparams.get("saved_md_results_model_name") is not None:
+            json_path = (
+                Path("datasets") / hparams["dataset"] / "saved_md_results"
+                / (hparams["saved_md_results_model_name"] + ".json")
+            )
+            with open(json_path) as f:
+                saved = json.load(f)
+            logger.info("Applying saved MD results (data cleaning).")
+            for utt_id, sample in computed.items():
+                if utt_id not in saved:
+                    continue
+                flvl_len = len(sample["feat"])
+                plvl_len = len(sample["gt_phn_seq"])
+                for key, data in sample.items():
+                    if "flvl_" in key or "feat" in key:
+                        assert len(data) == flvl_len
+                        sample[key] = apply_flvl_saved_md_results(
+                            data, saved[utt_id])
+                    elif "boundary_" in key:
+                        assert len(data) == flvl_len
+                        sample[key] = apply_boundary_saved_md_results(
+                            data, saved[utt_id])
+                    elif "_seq" in key:
+                        # phoneme-length keys: phn/cnncl/md/seg/phn_end seqs
+                        assert len(data) == plvl_len
+                        sample[key] = apply_plvl_saved_md_results(
+                            data, saved[utt_id])
+
+        computed_datasets.append(
+            DynamicItemDataset(computed, output_keys=OUTPUT_KEYS)
+        )
+
+    label_encoder = get_label_encoder(hparams)
+    label_encoder.save(computed_dir / "label_encoder.txt")
+    return computed_datasets, label_encoder

@@ -1,0 +1,68 @@
+"""WAV file IO and resampling (host-side).
+
+The reference shells out to ``sox`` for resampling and uses librosa for
+loading (``datasets/SynAudioMNIST/prepare.py:86``, ``utils/data_io.py:192``).
+Neither exists in this environment; this module reads/writes PCM WAV with
+the stdlib and resamples with a windowed-sinc polyphase filter.  The native
+C++ ingestion tool (``mlvae_tpu/native``) provides the same operations for
+bulk offline preparation.
+"""
+from __future__ import annotations
+
+import wave
+from pathlib import Path
+
+import numpy as np
+
+
+def read_wav(path) -> tuple[np.ndarray, int]:
+    """Returns (float32 waveform in [-1, 1], sample_rate)."""
+    with wave.open(str(path), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    if sw == 2:
+        data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif sw == 4:
+        data = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif sw == 1:
+        data = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width: {sw}")
+    if ch > 1:
+        data = data.reshape(-1, ch).mean(axis=1)
+    return data, sr
+
+
+def write_wav(path, data: np.ndarray, sr: int = 16000):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pcm = np.clip(np.asarray(data, np.float64) * 32767.0, -32768, 32767)
+    pcm = pcm.astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def resample(data: np.ndarray, sr_in: int, sr_out: int,
+             num_zeros: int = 16) -> np.ndarray:
+    """Windowed-sinc polyphase resampler (sox-equivalent quality class)."""
+    if sr_in == sr_out:
+        return np.asarray(data, np.float32)
+    from math import gcd
+    g = gcd(sr_in, sr_out)
+    up, down = sr_out // g, sr_in // g
+    # upsample by zero-stuffing, low-pass, then decimate
+    n_out = int(np.ceil(len(data) * up / down))
+    cutoff = 0.95 * 0.5 / max(up, down)
+    half = num_zeros * max(up, down)
+    t = np.arange(-half, half + 1)
+    lp = 2 * cutoff * np.sinc(2 * cutoff * t) * np.hanning(len(t))
+    stuffed = np.zeros(len(data) * up)
+    stuffed[::up] = data * up
+    filtered = np.convolve(stuffed, lp, mode="same")
+    return filtered[::down][:n_out].astype(np.float32)

@@ -1,0 +1,179 @@
+"""Data layer tests: encoder, dynamic dataset, synthetic corpus end-to-end
+prep, padded batching, annotation generation, saved-MD cleaning."""
+import json
+
+import numpy as np
+import pytest
+
+from mlvae_tpu.data.encoder import LabelEncoder
+from mlvae_tpu.data.dataset import DynamicItemDataset
+from mlvae_tpu.data.batch import PaddedBatch, DataLoader
+from mlvae_tpu.data import annotations as ann
+from mlvae_tpu.data.synth import generate_corpus
+from mlvae_tpu.data.datasets.SynAudioMNIST import prepare as syn_prepare
+from mlvae_tpu.data.data_io import prepare_datasets, OUTPUT_KEYS
+from mlvae_tpu.utils.phonemes import PhonemeSetHandler, get_phoneme_set
+
+
+def test_label_encoder_blank_and_roundtrip(tmp_path):
+    enc = LabelEncoder()
+    enc.update_from_iterable(["sil", "aa", "bb"])
+    enc.insert_blank(index=0)
+    assert enc.encode_label(LabelEncoder.BLANK) == 0
+    assert enc.encode_label("sil") == 1
+    assert len(enc) == 4
+    ids = enc.encode_sequence(["aa", "bb", "sil"])
+    np.testing.assert_array_equal(ids, [2, 3, 1])
+    enc.save(tmp_path / "enc.txt")
+    enc2 = LabelEncoder.load(tmp_path / "enc.txt")
+    assert enc2.lab2ind == enc.lab2ind
+
+
+def test_phoneme_sets():
+    # the folded sets include 'err' (and closures in the 60 set), so the
+    # label inventory is n_phonemes+1 / +2 entries — matching the reference's
+    # encoder sizing (head dim = n_phonemes + 2 with blank inserted)
+    assert len(get_phoneme_set("english", 39)) == 40
+    assert len(get_phoneme_set("english", 48)) == 49
+    assert len(get_phoneme_set("english", 60)) == 65
+    assert len(get_phoneme_set("digits", 12)) == 12
+    assert len(get_phoneme_set("pinyin", 62)) == 62
+    h = PhonemeSetHandler("english", 39)
+    assert h.map_phoneme("ao") == "aa"
+    assert h.map_phoneme("bcl") == "sil"
+
+
+def test_dynamic_dataset_pipeline_dag():
+    data = {"u1": {"x": 2}, "u2": {"x": 5}}
+    ds = DynamicItemDataset(data)
+    ds.add_dynamic_item(lambda x: x * 2, ["x"], ["y"])
+
+    def two_out(y):
+        yield y + 1
+        yield y + 2
+    ds.add_dynamic_item(two_out, ["y"], ["a", "b"])
+    ds.set_output_keys(["id", "a", "b"])
+    s = ds[0]
+    assert s == {"id": "u1", "a": 5, "b": 6}
+    srt = ds.filtered_sorted(sort_key="x", reverse=True)
+    assert srt.ids == ["u2", "u1"]
+
+
+def test_annotation_generation():
+    enc = LabelEncoder()
+    enc.update_from_iterable(["sil", "p1", "p2"])
+    seg = [(0.1, 0.3), (0.3, 0.5)]
+    ids = enc.encode_sequence(["p1", "p2"])
+    flvl = ann.generate_flvl_annotation(enc, 10, 0.5, seg, ids)
+    np.testing.assert_array_equal(flvl, [0, 0, 1, 1, 1, 1, 2, 2, 2, 2])
+    boundary, phn_end = ann.generate_boundary_seq(10, 0.5, seg)
+    assert boundary[0] == 1 and boundary[6] == 1 and boundary.sum() == 2
+    np.testing.assert_array_equal(phn_end, [0.3 * 16000, 0.5 * 16000])
+
+
+def test_boundary_collision_bump_right():
+    seg = [(0.0, 0.01), (0.01, 0.5), (0.02, 0.5)]
+    boundary, _ = ann.generate_boundary_seq(10, 0.5, seg)
+    # second segment start maps to frame 0 (occupied) -> bumped to 1
+    assert boundary[0] == 1 and boundary[1] == 1
+    assert boundary.sum() == 3
+
+
+def test_saved_md_appliers():
+    x = list(range(10))
+    res = [[1, 0.2, 0.4]]  # phoneme 1, frames 2..4
+    assert ann.apply_flvl_saved_md_results(x, res) == [0, 1, 4, 5, 6, 7, 8, 9]
+    assert ann.apply_plvl_saved_md_results([10, 11, 12], res) == [10, 12]
+    b = np.array([1, 0, 0, 1, 0, 1, 0, 0, 0, 0])
+    out = ann.apply_boundary_saved_md_results(b, res)  # drop frames 3..4
+    np.testing.assert_array_equal(out, [1, 0, 0, 1, 0, 0, 0, 0])
+
+
+def test_padded_batch_relative_lens():
+    samples = [
+        {"id": "a", "feat": np.ones((50, 3), np.float32)},
+        {"id": "b", "feat": np.ones((30, 3), np.float32)},
+    ]
+    batch = PaddedBatch(samples, time_bucket=32)
+    feats, lens = batch["feat"]
+    assert feats.shape == (2, 64, 3)
+    # round(rel * padded) recovers exact counts
+    assert round(float(lens[0]) * 64) == 50
+    assert round(float(lens[1]) * 64) == 30
+    assert feats[1, 30:].sum() == 0
+
+
+@pytest.fixture(scope="module")
+def syn_hparams(tmp_path_factory):
+    root = tmp_path_factory.mktemp("syn") / "SynAudioMNIST"
+    generate_corpus(root, n_speakers=4, utts_per_speaker=3)
+    from mlvae_tpu.ops.fbank import Fbank
+    hparams = {
+        "dataset": "SynAudioMNIST",
+        "sample_rate": 16000,
+        "blank_index": 0,
+        "sorting": "descending",
+        "apply_saved_md_results": False,
+        "saved_md_results_model_name": None,
+        "train_dataloader_opts": {"batch_size": 2},
+        "kaldi_feature_params": {
+            "sample_rate": 16000, "hop_length": 20, "n_fft": 400, "n_mels": 40,
+        },
+        "compute_features": Fbank(deltas=True),
+        "prepare": {
+            "dataset_dir": str(root / "original_dataset"),
+            "train_json_path": str(root / "annotation/train.json"),
+            "valid_json_path": str(root / "annotation/valid.json"),
+            "test_json_path": str(root / "annotation/test.json"),
+            "phoneme_set_handler": PhonemeSetHandler("digits", 12),
+        },
+    }
+    syn_prepare.prepare(**hparams["prepare"])
+    return hparams
+
+
+def test_synth_prepare_schema(syn_hparams):
+    with open(syn_hparams["prepare"]["train_json_path"]) as f:
+        data = json.load(f)
+    assert len(data) > 0
+    sample = next(iter(data.values()))
+    for key in ["wav_path", "duration", "spk_id", "txt_gt_phn_seq",
+                "txt_gt_cnncl_seq", "gt_seg_seq", "fa_seg_seq"]:
+        assert key in sample
+    assert len(sample["txt_gt_phn_seq"]) == len(sample["gt_seg_seq"])
+
+
+def test_prepare_datasets_end_to_end(syn_hparams):
+    datasets, label_encoder = prepare_datasets(syn_hparams)
+    assert len(datasets) == 3
+    assert len(label_encoder) == 13  # 12 digits+sil+err plus blank
+    train = datasets[0]
+    s = train[0]
+    assert set(s.keys()) == set(OUTPUT_KEYS)
+    T = s["feat"].shape[0]
+    assert s["feat"].shape[1] == 120
+    assert s["kaldi_feat"].shape == (T, 120)
+    assert s["flvl_gt_phn_seq"].shape == (T,)
+    assert s["gt_boundary_seq"].shape == (T,)
+    assert s["gt_boundary_seq"].sum() == len(s["gt_phn_seq"])
+    assert s["fa_boundary_seq"].sum() == len(s["gt_phn_seq"])
+    md = np.asarray(s["plvl_gt_md_lbl_seq"])
+    np.testing.assert_array_equal(
+        md, np.asarray(s["gt_phn_seq"]) != np.asarray(s["gt_cnncl_seq"])
+    )
+    prior = np.asarray(s["prior"])
+    assert abs(prior.sum() - 1.0) < 1e-5
+
+    # second call hits the cache (no recompute) and returns same content
+    datasets2, _ = prepare_datasets(syn_hparams)
+    s2 = datasets2[0][0]
+    np.testing.assert_allclose(s["feat"], s2["feat"], rtol=1e-6)
+
+    # dataloader produces SB-convention (array, lens) pairs
+    loader = DataLoader(train, batch_size=2)
+    batch = next(iter(loader))
+    feats, lens = batch["feat"]
+    assert feats.ndim == 3 and feats.shape[2] == 120
+    assert len(batch["id"]) == 2
+    prior_b, _ = batch["prior"]
+    np.testing.assert_allclose(prior_b[0], prior, rtol=1e-6)
