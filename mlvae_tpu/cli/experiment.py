@@ -1,0 +1,70 @@
+"""Experiment driver (parity with reference ``prepare_experiment.py``):
+
+parse CLI -> load hyperyaml with overrides + extra_overrides channel ->
+create experiment dir -> run dataset prepare by import -> build datasets ->
+reflectively instantiate ``models.<model_class>.model.SBModel``.
+"""
+from __future__ import annotations
+
+import importlib
+import logging
+import shutil
+from pathlib import Path
+from typing import Dict, List
+
+from mlvae_tpu.cli.args import parse_arguments
+from mlvae_tpu.data.data_io import prepare_datasets
+from mlvae_tpu.hyperyaml import load_hyperyaml, recursive_update
+from mlvae_tpu.hyperyaml.loader import _parse_tagged
+
+logger = logging.getLogger(__name__)
+
+
+def prepare_experiment(args: List[str], prepare_exp_dir: bool = True) -> Dict:
+    hparams_file, run_opts, overrides_str = parse_arguments(args)
+
+    overrides = _parse_tagged(overrides_str) if overrides_str else {}
+    overrides = overrides or {}
+    extra_overrides = overrides.pop("extra_overrides", {}) or {}
+
+    with open(hparams_file) as fin:
+        hparams = load_hyperyaml(fin, [extra_overrides, overrides])
+    # the extra_overrides channel is re-merged after load so nested recipe
+    # values win over YAML-resolved ones (reference prepare_experiment.py:25)
+    recursive_update(hparams, extra_overrides)
+
+    if prepare_exp_dir and "output_dir" in hparams:
+        out_dir = Path(hparams["output_dir"])
+        out_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            shutil.copy(hparams_file, out_dir / "hyperparams.yaml")
+        except shutil.SameFileError:
+            pass
+
+    prepared = {"hparams": hparams, "run_opts": run_opts}
+
+    dataset_name = hparams["dataset"]
+    prepare_mod = importlib.import_module(
+        f"mlvae_tpu.data.datasets.{dataset_name}.prepare"
+    )
+    prepare_mod.prepare(**hparams["prepare"])
+
+    datasets, label_encoder = prepare_datasets(hparams)
+    prepared["datasets"] = datasets
+    prepared["label_encoder"] = label_encoder
+
+    if "model_class" in hparams:
+        model_class = hparams["model_class"]
+        model_mod = importlib.import_module(
+            f"mlvae_tpu.models.{model_class}.model"
+        )
+        model = model_mod.SBModel(
+            label_encoder=label_encoder,
+            modules=hparams["model"]["modules"],
+            hparams=hparams["model"],
+            run_opts=run_opts,
+            checkpointer=hparams["model"].get("checkpointer"),
+        )
+        prepared["model"] = model
+
+    return prepared

@@ -1,0 +1,27 @@
+"""Scalar loss accumulation (parity with reference
+``utils/metric_stats/loss_metric_stats.py``)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class LossMetricStats:
+    def __init__(self, name: str):
+        self.name = name
+        self.clear()
+
+    def clear(self):
+        self.loss_list = []
+
+    def append(self, loss):
+        self.loss_list.append(float(np.asarray(loss)))
+
+    def summarize(self, field: Optional[str] = None):
+        if field is not None:
+            raise ValueError("field must be None")
+        return {"loss": float(np.mean(self.loss_list))}
+
+    def write_stats(self, f):
+        f.write(f"{self.name}: {self.summarize()}\n")

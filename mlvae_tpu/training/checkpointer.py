@@ -1,0 +1,154 @@
+"""Metric-keyed checkpointing of training state pytrees.
+
+Capability parity with SpeechBrain's ``Checkpointer`` as the reference uses
+it: ``save_and_keep_only(meta=..., max_keys=..., min_keys=...)`` after every
+VALID stage (reference ``models/md_model.py:151-164``) and best-checkpoint
+recall by key at evaluate time.  YAML-visible as
+``!new:speechbrain.utils.checkpoints.Checkpointer``.
+
+Storage is one directory per checkpoint holding a ``meta.json`` and one
+``.npz`` of path-flattened arrays per recoverable pytree — plain files, no
+framework-specific serialization, loadable from any host.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        flat[jax.tree_util.keystr(path)] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_like(template, flat: Dict[str, np.ndarray]):
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path, leaf in leaves_with_path:
+        arr = flat[jax.tree_util.keystr(path)]
+        new_leaves.append(arr.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class Checkpoint:
+    def __init__(self, path: Path, meta: Dict[str, Any]):
+        self.path = Path(path)
+        self.meta = meta
+
+
+class Checkpointer:
+    def __init__(self, checkpoints_dir, recoverables: Optional[Dict] = None,
+                 **kwargs):
+        self.checkpoints_dir = Path(checkpoints_dir)
+        # YAML-declared recoverables (module specs) are kept for parity and
+        # introspection; live state pytrees are supplied by the Brain.
+        self.recoverables = dict(recoverables or {})
+
+    def add_recoverable(self, name: str, obj):
+        self.recoverables[name] = obj
+
+    # -- enumeration -------------------------------------------------------------
+    def list_checkpoints(self) -> List[Checkpoint]:
+        out = []
+        if not self.checkpoints_dir.exists():
+            return out
+        for d in sorted(self.checkpoints_dir.iterdir()):
+            meta_path = d / "meta.json"
+            if d.is_dir() and meta_path.exists():
+                with open(meta_path) as f:
+                    out.append(Checkpoint(d, json.load(f)))
+        return out
+
+    def find_checkpoint(self, max_key: Optional[str] = None,
+                        min_key: Optional[str] = None) -> Optional[Checkpoint]:
+        ckpts = self.list_checkpoints()
+        if not ckpts:
+            return None
+        if max_key:
+            ckpts = [c for c in ckpts if max_key in c.meta]
+            return max(ckpts, key=lambda c: c.meta[max_key]) if ckpts else None
+        if min_key:
+            ckpts = [c for c in ckpts if min_key in c.meta]
+            return min(ckpts, key=lambda c: c.meta[min_key]) if ckpts else None
+        return max(ckpts, key=lambda c: c.meta.get("unixtime", 0))
+
+    # -- save ---------------------------------------------------------------------
+    def save_checkpoint(self, state: Dict[str, Any],
+                        meta: Optional[Dict[str, Any]] = None) -> Checkpoint:
+        meta = dict(meta or {})
+        meta.setdefault("unixtime", time.time())
+        name = f"CKPT-{time.strftime('%Y-%m-%d_%H-%M-%S')}-{int(time.time()*1e6)%1000000:06d}"
+        path = self.checkpoints_dir / name
+        path.mkdir(parents=True, exist_ok=True)
+        for rec_name, tree in state.items():
+            np.savez(path / f"{rec_name}.npz", **_flatten(tree))
+        with open(path / "meta.json", "w") as f:
+            json.dump(_jsonable(meta), f, indent=2)
+        return Checkpoint(path, meta)
+
+    def save_and_keep_only(self, state: Dict[str, Any],
+                           meta: Optional[Dict[str, Any]] = None,
+                           max_keys: Optional[List[str]] = None,
+                           min_keys: Optional[List[str]] = None,
+                           num_to_keep: int = 1):
+        """Save, then delete every checkpoint that is not among the best
+        ``num_to_keep`` under any of the given keys (nor the newest)."""
+        self.save_checkpoint(state, meta)
+        keep = set()
+        ckpts = self.list_checkpoints()
+        for key in max_keys or []:
+            ranked = sorted([c for c in ckpts if key in c.meta],
+                            key=lambda c: c.meta[key], reverse=True)
+            keep.update(str(c.path) for c in ranked[:num_to_keep])
+        for key in min_keys or []:
+            ranked = sorted([c for c in ckpts if key in c.meta],
+                            key=lambda c: c.meta[key])
+            keep.update(str(c.path) for c in ranked[:num_to_keep])
+        if not keep:  # no keys: keep the newest
+            newest = max(ckpts, key=lambda c: c.meta.get("unixtime", 0))
+            keep.add(str(newest.path))
+        for c in ckpts:
+            if str(c.path) not in keep:
+                shutil.rmtree(c.path, ignore_errors=True)
+
+    # -- load --------------------------------------------------------------------
+    def load_checkpoint(self, ckpt: Checkpoint,
+                        templates: Dict[str, Any]) -> Dict[str, Any]:
+        """Restore state pytrees shaped like ``templates``."""
+        out = {}
+        for rec_name, template in templates.items():
+            npz_path = ckpt.path / f"{rec_name}.npz"
+            if not npz_path.exists():
+                continue
+            with np.load(npz_path, allow_pickle=False) as data:
+                flat = {k: data[k] for k in data.files}
+            out[rec_name] = _unflatten_like(template, flat)
+        return out
+
+    def recover_if_possible(self, templates: Dict[str, Any],
+                            max_key: Optional[str] = None,
+                            min_key: Optional[str] = None):
+        ckpt = self.find_checkpoint(max_key=max_key, min_key=min_key)
+        if ckpt is None:
+            return None, None
+        return self.load_checkpoint(ckpt, templates), ckpt
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj
