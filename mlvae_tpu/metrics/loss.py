@@ -21,6 +21,8 @@ class LossMetricStats:
     def summarize(self, field: Optional[str] = None):
         if field is not None:
             raise ValueError("field must be None")
+        if not self.loss_list:
+            raise ValueError(f"no values appended for {self.name}")
         return {"loss": float(np.mean(self.loss_list))}
 
     def write_stats(self, f):
