@@ -1,0 +1,76 @@
+"""Shared helpers for bench.py and __graft_entry__.py: build the flagship
+MD_VAE model and synthetic batches without touching the filesystem."""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent.parent
+
+N_PHONEMES = 12          # digits task (smoke-test scale)
+N_CLASSES = N_PHONEMES + 2
+INPUT_SIZE = 120         # 40 mel x 3 (static + delta + delta2)
+
+
+def build_md_vae(n_epochs: int = 3, batch_size: int = 8):
+    """Load the MD_VAE recipe YAML through the config kernel and build the
+    SBModel exactly the way prepare_experiment does."""
+    from mlvae_tpu.hyperyaml import load_hyperyaml
+    from mlvae_tpu.models.MD_VAE.model import SBModel
+
+    model_yaml = REPO / "mlvae_tpu/models/MD_VAE/model.yaml"
+    # the keys run.yaml normally injects as include-overrides
+    injected = {
+        "n_epochs": n_epochs,
+        "dataset_name": "SynAudioMNIST",
+        "model_name": "bench",
+        "output_dir": "/tmp/mlvae_bench",
+        "input_size": INPUT_SIZE,
+        "n_phonemes": N_PHONEMES,
+        "batch_size": batch_size,
+        "kld_n_samples": 2249,
+    }
+    with open(model_yaml) as f:
+        hparams = load_hyperyaml(f, overrides=injected,
+                                 overrides_must_match=False)
+    hparams.update({k: v for k, v in injected.items() if k not in hparams})
+    model = SBModel(
+        modules=hparams["modules"],
+        hparams=hparams,
+        run_opts={},
+        checkpointer=None,
+    )
+    return model
+
+
+def synth_batch(batch_size: int = 8, T: int = 160, L: int = 8,
+                seed: int = 0) -> Dict[str, Tuple]:
+    """Synthetic device batch with the MD_VAE input contract."""
+    rs = np.random.RandomState(seed)
+    feats = rs.randn(batch_size, T, INPUT_SIZE).astype(np.float32)
+    feat_lens = np.linspace(1.0, 0.8, batch_size).astype(np.float32)
+    cnncl = rs.randint(2, N_PHONEMES, (batch_size, L)).astype(np.int64)
+    cnncl_lens = np.full((batch_size,), 1.0, np.float32)
+    boundary = np.zeros((batch_size, T), np.float32)
+    t_lens = np.round(feat_lens * T).astype(int)
+    for i in range(batch_size):
+        starts = np.sort(rs.choice(np.arange(1, t_lens[i]), L - 1,
+                                   replace=False))
+        boundary[i, 0] = 1
+        boundary[i, starts] = 1
+    prior = rs.dirichlet(np.ones(N_CLASSES)).astype(np.float32)
+    prior_b = np.tile(prior, (batch_size, 1))
+    md = rs.randint(0, 2, (batch_size, L)).astype(np.int64)
+    return {
+        "feat": (jnp.asarray(feats), jnp.asarray(feat_lens)),
+        "gt_cnncl_seq": (jnp.asarray(cnncl), jnp.asarray(cnncl_lens)),
+        "fa_boundary_seq": (jnp.asarray(boundary), jnp.asarray(feat_lens)),
+        "gt_boundary_seq": (jnp.asarray(boundary), jnp.asarray(feat_lens)),
+        "plvl_gt_md_lbl_seq": (jnp.asarray(md), jnp.asarray(cnncl_lens)),
+        "prior": (jnp.asarray(prior_b), jnp.asarray(cnncl_lens)),
+    }

@@ -79,6 +79,11 @@ class Brain:
         self.max_grad_norm = float(self.run_opts.get("max_grad_norm", 5.0))
 
         self.rng = jax.random.PRNGKey(seed_util.get_seed())
+        self.mesh = None
+        if self.run_opts.get("data_parallel", False):
+            from mlvae_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(self.run_opts.get("num_devices"))
+            logger.info("data-parallel over %d devices", self.mesh.size)
         self.params: Optional[Dict[str, Any]] = None
         self.states: Dict[str, Any] = {}
         self.optimizers: Dict[str, Tuple[Any, Optional[List[str]]]] = {}
@@ -126,9 +131,14 @@ class Brain:
         return out
 
     def ensure_states(self, feat_dim: int):
+        created = False
         for name, norm in self._normalizers().items():
             if name not in self.states:
                 self.states[name] = norm.init_state(feat_dim)
+                created = True
+        if created and self.mesh is not None:
+            from mlvae_tpu.parallel.mesh import replicate
+            self.states = replicate(self.mesh, self.states)
         pending = getattr(self, "_pending_states_ckpt", None)
         if pending is not None and self.states:
             restored = self.checkpointer.load_checkpoint(
@@ -223,16 +233,26 @@ class Brain:
     # ------------------------------------------------------------------
     # batch conversion
     # ------------------------------------------------------------------
-    @staticmethod
-    def to_device_batch(batch: PaddedBatch) -> Dict[str, Tuple]:
+    def to_device_batch(self, batch: PaddedBatch) -> Dict[str, Tuple]:
         out = {}
+        pad_to = self.mesh.size if self.mesh is not None else 1
         for key in batch.keys():
             if key == "id":
                 continue
             arr, lens = batch[key]
             if arr.dtype == np.float64:
                 arr = arr.astype(np.float32)
+            B = arr.shape[0]
+            if B % pad_to != 0:
+                # DP: replicate trailing samples so the batch axis divides
+                # the mesh (duplicates only affect running loss averages)
+                extra = pad_to - B % pad_to
+                arr = np.concatenate([arr, arr[-1:].repeat(extra, axis=0)])
+                lens = np.concatenate([lens, lens[-1:].repeat(extra, axis=0)])
             out[key] = (jnp.asarray(arr), jnp.asarray(lens))
+        if self.mesh is not None:
+            from mlvae_tpu.parallel.mesh import shard_batch
+            out = shard_batch(self.mesh, out)
         return out
 
     # ------------------------------------------------------------------
@@ -247,6 +267,10 @@ class Brain:
         if self.params is None:
             self.init_params()
         self.init_optimizers()
+        if self.mesh is not None:
+            from mlvae_tpu.parallel.mesh import replicate
+            self.params = replicate(self.mesh, self.params)
+            self.opt_states = replicate(self.mesh, self.opt_states)
 
     def on_fit_end(self):
         pass
