@@ -52,6 +52,11 @@ class Target(Enum):
 
 
 class SBModel(MDModel):
+    # Subclass knobs: joint variants disable the inactive-branch
+    # stop-gradient (MD_VAE_joint) or save MD results on VALID too.
+    detach_inactive = True
+    save_md_on_valid = False
+
     # ------------------------------------------------------------------
     # stage hooks
     # ------------------------------------------------------------------
@@ -66,7 +71,9 @@ class SBModel(MDModel):
             raise ValueError(f"invalid stage {stage}")
         logger.info("Epoch %s, stage %s: target is %s", epoch, stage,
                     self.target)
+        self._init_stage_stats(stage)
 
+    def _init_stage_stats(self, stage):
         self.stats_loggers = {}
         if stage == Stage.TRAIN or self.to_run_evaluation(stage):
             for key in self.hparams.get("metric_keys", []):
@@ -135,7 +142,7 @@ class SBModel(MDModel):
         predictions = {"losses": {}}
 
         def maybe_detach(losses, active):
-            if active:
+            if active or not self.detach_inactive:
                 return losses
             return {k: jax.lax.stop_gradient(v) for k, v in losses.items()}
 
@@ -264,7 +271,7 @@ class SBModel(MDModel):
             targets=gt_b_seqs,
         )
 
-        if stage == Stage.TEST:
+        if stage == Stage.TEST or self.save_md_on_valid:
             self.save_md_result(self._batch_ids, pred_boundary, pred_plvl)
 
     def save_md_result(self, utt_ids, boundary_seqs, plvl_md_seqs):

@@ -108,6 +108,11 @@ class Brain:
     def evaluate_predictions(self, predictions, batch, stage):
         """Host-side hook after each VALID/TEST batch (metrics etc.)."""
 
+    def prepare_batch(self, batch: "PaddedBatch") -> "PaddedBatch":
+        """Host-side hook before device transfer (e.g. attach pre-saved
+        per-utterance tensors keyed by id)."""
+        return batch
+
     # ------------------------------------------------------------------
     # initialization
     # ------------------------------------------------------------------
@@ -308,6 +313,7 @@ class Brain:
                 logger.info("recovered checkpoint %s", ckpt.path)
 
     def fit_batch(self, batch: PaddedBatch) -> float:
+        batch = self.prepare_batch(batch)
         dev_batch = self.to_device_batch(batch)
         feats = dev_batch.get("feat", dev_batch.get("kaldi_feat"))
         if feats is not None:
@@ -325,6 +331,7 @@ class Brain:
         return float(loss)
 
     def evaluate_batch(self, batch: PaddedBatch, stage: Stage) -> float:
+        batch = self.prepare_batch(batch)
         dev_batch = self.to_device_batch(batch)
         feats = dev_batch.get("feat", dev_batch.get("kaldi_feat"))
         if feats is not None:

@@ -1,0 +1,83 @@
+"""Smoke tests for the MD_VAE variant family through the real train entry."""
+import os
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("variants_wd")
+    old = os.getcwd()
+    os.chdir(wd)
+    yield wd
+    os.chdir(old)
+
+
+def _args(recipe, n_epochs=2, batches=1):
+    model_yaml = REPO / f"mlvae_tpu/models/{recipe}/model.yaml"
+    return [
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", recipe,
+        "--model_name", f"{recipe}_smoke",
+        "--model", f"!include:{model_yaml}",
+        "--extra_overrides", "{model: {n_epochs: %d}}" % n_epochs,
+        "--debug", "--debug_batches", str(batches),
+    ]
+
+
+@pytest.mark.parametrize("recipe,n_epochs", [
+    ("MD_VAE_sfl", 2),       # covers B_DETECTOR-like + VAE epochs of cycle
+    ("MD_VAE_joint", 1),
+    ("MD_VAE_joint_ll", 1),
+])
+def test_variant_smoke(workdir, recipe, n_epochs):
+    from mlvae_tpu.cli import train as train_cli
+
+    model = train_cli.main(_args(recipe, n_epochs=n_epochs))
+    log = (workdir / f"results/{recipe}_smoke/train_log.txt").read_text()
+    assert "loss" in log
+    if recipe == "MD_VAE_sfl" and n_epochs >= 2:
+        # epoch 2 is a B_DETECTOR epoch in the 3-way cycle; epoch 3 VAE would
+        # log SFL losses — run a third epoch to check the REINFORCE path
+        pass
+
+
+def test_sfl_vae_epoch_logs_reinforce_losses(workdir):
+    from mlvae_tpu.cli import train as train_cli
+
+    train_cli.main(_args("MD_VAE_sfl", n_epochs=3))
+    log = (workdir / "results/MD_VAE_sfl_smoke/train_log.txt").read_text()
+    for key in ["rif_loss", "entropy_loss", "baseline_loss"]:
+        assert key in log, key
+
+
+def test_saved_phn_recog_variant(workdir):
+    from mlvae_tpu.cli import train as train_cli
+    from mlvae_tpu.cli.experiment import prepare_experiment
+
+    # build the pre-saved recognizer outputs the recipe consumes
+    prepared = prepare_experiment(_args("MD_VAE"), prepare_exp_dir=False)
+    rs = np.random.RandomState(0)
+    outs = {}
+    for ds in prepared["datasets"]:
+        for utt_id in ds.ids:
+            T = len(ds.data[utt_id]["feat"])
+            outs[utt_id] = rs.randn(T, 14).astype(np.float32)
+    (workdir / "results").mkdir(exist_ok=True)
+    with open(workdir / "results/saved_phn_recog_outs.pkl", "wb") as f:
+        pickle.dump(outs, f)
+
+    model = train_cli.main(_args("MD_VAE_sfl_saved_phn_recog", n_epochs=2))
+    log = (workdir /
+           "results/MD_VAE_sfl_saved_phn_recog_smoke/train_log.txt").read_text()
+    assert "loss" in log
+    # the recognizer is not a trained module in this recipe
+    assert "phoneme_recognizer" not in model.modules
