@@ -1,0 +1,109 @@
+"""DNN-HMM forced-alignment recipe.
+
+Capability parity with reference ``models/HMM_DNN_ALI/model.py``: VanillaNN
+acoustic model over 3-state-per-phoneme HMM outputs, trainable with
+``forward`` (differentiable forward-algorithm score, in-jit), ``ctc``, or
+``viterbi`` (NLL against stored alignments) objectives; Viterbi alignments
+stored and scored for accuracy.
+
+Scheduling difference (documented): the reference recomputes and stores
+Viterbi alignments inside every training forward pass
+(``model.py:81-86``, a host sync per step); here alignments refresh on
+every VALID/TEST pass — the standard realignment schedule — keeping the
+train step a single XLA program.
+"""
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from mlvae_tpu.metrics.metric_stats import MetricStats
+from mlvae_tpu.models.md_model import MDModel
+from mlvae_tpu.nn.core import RngStream
+from mlvae_tpu.ops.losses import nll_loss
+from mlvae_tpu.training.brain import Stage
+from mlvae_tpu.utils.tensor import undo_padding
+
+logger = logging.getLogger(__name__)
+
+
+class SBModel(MDModel):
+    def on_stage_start(self, stage, epoch=None):
+        super().on_stage_start(stage, epoch)
+        self.training_type = self.hparams["init_training_type"]
+        self.stats_loggers["accuracy_stats"] = MetricStats(
+            metric=self.hparams["aligner"].calc_accuracy
+        )
+
+    def _step_key(self):
+        return getattr(self, "training_type", None)
+
+    def prepare_batch(self, batch):
+        if getattr(self, "training_type", None) == "viterbi":
+            pout_lens = batch["feat"][1]
+            phns, phn_lens = batch["gt_cnncl_seq"]
+            aligner = self.hparams["aligner"]
+            states = np.asarray(
+                aligner.expand_phns_by_states_per_phoneme(phns, phn_lens)
+            )
+            # dummy pout shape for length bookkeeping
+            T = batch["feat"][0].shape[1]
+            fake_pout = np.zeros((len(batch["id"]), T, 1), np.float32)
+            prev = aligner.get_prev_alignments(
+                batch["id"], fake_pout, pout_lens, states, phn_lens
+            )
+            batch._data["prev_alignments"] = (prev, np.asarray(pout_lens))
+        return batch
+
+    def compute_forward(self, params, states, batch, stage, rng, epoch):
+        feats, feat_lens = batch["feat"]
+        train = stage == Stage.TRAIN
+        stream = RngStream(rng)
+        out = self.modules["model"].apply(
+            params["model"], feats, rng=stream, train=train
+        )
+        out = self.modules["output"].apply(params["output"], out)
+        out = out - out.mean(axis=1, keepdims=True)
+        pout = self.hparams["log_softmax"](out)
+        return {"pout": pout}, dict(states)
+
+    def compute_objectives(self, predictions, batch, stage):
+        pout = predictions["pout"]
+        pout_lens = batch["feat"][1]
+        phns, phn_lens = batch["gt_cnncl_seq"]
+        aligner = self.hparams["aligner"]
+        states = aligner.expand_phns_by_states_per_phoneme(phns, phn_lens)
+
+        if self.training_type == "forward":
+            loss = -aligner.forward_score(pout, pout_lens, states, phn_lens)
+        elif self.training_type == "ctc":
+            loss = self.hparams["compute_cost_ctc"](
+                pout, states, pout_lens, phn_lens
+            )
+        elif self.training_type == "viterbi":
+            prev, _ = batch["prev_alignments"]
+            loss = self.hparams["compute_cost_nll"](
+                pout, prev, length=pout_lens
+            )
+        else:
+            raise ValueError(f"unknown training type: {self.training_type}")
+        return loss, {}
+
+    def evaluate_predictions(self, predictions, batch, stage):
+        pout = np.asarray(predictions["pout"])
+        pout_lens = batch["feat"][1]
+        phns, phn_lens = batch["gt_cnncl_seq"]
+        aligner = self.hparams["aligner"]
+        states = np.asarray(
+            aligner.expand_phns_by_states_per_phoneme(phns, phn_lens)
+        )
+        _, alignments = aligner.viterbi(pout, pout_lens, states, phn_lens)
+        aligner.store_alignments(self._batch_ids, alignments)
+
+        phn_ends = undo_padding(*batch["gt_phn_end_seq"])
+        phns_orig = undo_padding(np.asarray(phns), phn_lens)
+        self.stats_loggers["accuracy_stats"].append(
+            self._batch_ids, alignments, list(phn_ends), list(phns_orig)
+        )

@@ -1,0 +1,88 @@
+"""Smoke tests: LSTM_FC and HMM_DNN_ALI recipes + HMM aligner math."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_hmm_aligner_forward_matches_bruteforce():
+    """Forward score on a tiny problem vs explicit path enumeration."""
+    from mlvae_tpu.modules.hmm_aligner import HMMAligner
+
+    aligner = HMMAligner(states_per_phoneme=1, batch_reduction="none",
+                         input_len_norm=False)
+    rs = np.random.RandomState(0)
+    T, K = 4, 3
+    pout = np.log(rs.dirichlet(np.ones(K), size=(1, T))).astype(np.float32)
+    states = np.asarray([[0, 2]])  # two 1-state phonemes
+    score = np.asarray(aligner.forward_score(
+        jnp.asarray(pout), jnp.asarray([1.0]), jnp.asarray(states),
+        jnp.asarray([1.0]),
+    )).reshape(-1)[0]
+
+    # enumerate all monotonic paths through states [0, 2] over 4 frames:
+    # switch point can be after frame 1, 2, or 3
+    total = -np.inf
+    lp = pout[0]
+    for switch in range(1, T):
+        p = sum(lp[t, 0] for t in range(switch)) + \
+            sum(lp[t, 2] for t in range(switch, T))
+        total = np.logaddexp(total, p)
+    assert abs(score - total) < 1e-4
+
+
+def test_hmm_aligner_viterbi_monotonic():
+    from mlvae_tpu.modules.hmm_aligner import HMMAligner
+
+    aligner = HMMAligner(states_per_phoneme=3)
+    rs = np.random.RandomState(1)
+    B, T, K = 2, 30, 12
+    pout = np.log(rs.dirichlet(np.ones(K), size=(B, T))).astype(np.float32)
+    phns = np.asarray([[1, 2], [3, 0]])
+    states = np.asarray(aligner.expand_phns_by_states_per_phoneme(
+        phns, np.asarray([1.0, 0.5])
+    ))
+    _, alis = aligner.viterbi(pout, np.asarray([1.0, 0.8]), states,
+                              np.asarray([1.0, 0.5]))
+    ali = alis[0]
+    assert len(ali) == T
+    # path is monotonic within the expanded state sequence
+    order = {int(s): i for i, s in enumerate(states[0])}
+    idx = [order[int(s)] for s in ali]
+    assert idx == sorted(idx)
+    assert idx[0] == 0 and idx[-1] == len(states[0]) - 1
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("more_wd")
+    old = os.getcwd()
+    os.chdir(wd)
+    yield wd
+    os.chdir(old)
+
+
+@pytest.mark.parametrize("recipe", ["LSTM_FC", "HMM_DNN_ALI"])
+def test_recipe_smoke(workdir, recipe):
+    from mlvae_tpu.cli import train as train_cli
+
+    model_yaml = REPO / f"mlvae_tpu/models/{recipe}/model.yaml"
+    args = [
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", recipe,
+        "--model_name", f"{recipe}_smoke",
+        "--model", f"!include:{model_yaml}",
+        "--extra_overrides", "{model: {n_epochs: 1}}",
+        "--debug", "--debug_batches", "1",
+    ]
+    train_cli.main(args)
+    log = (workdir / f"results/{recipe}_smoke/train_log.txt").read_text()
+    assert "loss" in log
