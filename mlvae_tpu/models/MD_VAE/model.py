@@ -53,9 +53,11 @@ class Target(Enum):
 
 class SBModel(MDModel):
     # Subclass knobs: joint variants disable the inactive-branch
-    # stop-gradient (MD_VAE_joint) or save MD results on VALID too.
+    # stop-gradient (MD_VAE_joint) or save MD results on VALID too; w2v
+    # variants rename the recognizer-output FC module.
     detach_inactive = True
     save_md_on_valid = False
+    PHN_FC_NAME = "phn_recog_fc"
 
     # ------------------------------------------------------------------
     # stage hooks
@@ -124,6 +126,12 @@ class SBModel(MDModel):
     # ------------------------------------------------------------------
     # pure forward / objectives
     # ------------------------------------------------------------------
+    def _branch_inputs(self, params, feats, batch, stream, train):
+        """Per-branch input features; the w2v variants override this to feed
+        wav2vec2-derived projections instead of fbank features."""
+        vae_in = self.modules["feat_fc"].apply(params["feat_fc"], feats)
+        return {"phn_in": feats, "bdet_in": feats, "vae_in": vae_in}
+
     def compute_forward(self, params, states, batch, stage, rng, epoch):
         if not hasattr(self, "target"):
             raise ValueError("target is not defined")
@@ -146,11 +154,13 @@ class SBModel(MDModel):
                 return losses
             return {k: jax.lax.stop_gradient(v) for k, v in losses.items()}
 
+        inputs = self._branch_inputs(params, feats, batch, stream, train)
+
         if target in (Target.PHN_RECOG, Target.VAE, Target.TEST):
             plvl_cnnl, plvl_lens = batch["gt_cnncl_seq"]
             fa_boundary = batch["fa_boundary_seq"][0]
             phn_out = self.modules["phoneme_recognizer"].apply(
-                params["phoneme_recognizer"], feats, feat_lens,
+                params["phoneme_recognizer"], inputs["phn_in"], feat_lens,
                 plvl_cnnl, plvl_lens, fa_boundary, rng=stream, train=train,
             )
             predictions["phn_recog_out"] = phn_out["out"]
@@ -161,8 +171,8 @@ class SBModel(MDModel):
         if target in (Target.B_DETECTOR, Target.VAE, Target.TEST):
             fa_boundary = batch["fa_boundary_seq"][0]
             bd_out = self.modules["boundary_detector"].apply(
-                params["boundary_detector"], feats, feat_lens, fa_boundary,
-                rng=stream, train=train,
+                params["boundary_detector"], inputs["bdet_in"], feat_lens,
+                fa_boundary, rng=stream, train=train,
             )
             predictions["boundary_v"] = bd_out["boundary_v"]
             predictions["losses"].update(
@@ -170,11 +180,9 @@ class SBModel(MDModel):
             )
 
         if target in (Target.VAE, Target.TEST):
-            feat_fc_out = self.modules["feat_fc"].apply(
-                params["feat_fc"], feats
-            )
-            phn_recog_fc_out = self.modules["phn_recog_fc"].apply(
-                params["phn_recog_fc"],
+            feat_fc_out = inputs["vae_in"]
+            phn_recog_fc_out = self.modules[self.PHN_FC_NAME].apply(
+                params[self.PHN_FC_NAME],
                 jax.lax.stop_gradient(predictions["phn_recog_out"]),
             )
             rnn_in = jnp.concatenate([feat_fc_out, phn_recog_fc_out], axis=-1)

@@ -79,9 +79,11 @@ class SBModel(MD_VAE):
                 return losses
             return {k: jax.lax.stop_gradient(v) for k, v in losses.items()}
 
+        inputs = self._branch_inputs(params, feats, batch, stream, train)
+
         if target in (Target.PHN_RECOG, Target.VAE, Target.TEST):
             phn_out = self._phn_recog_branch(
-                params, feats, feat_lens, batch, stream, train
+                params, inputs["phn_in"], feat_lens, batch, stream, train
             )
             predictions["phn_recog_out"] = phn_out["out"]
             predictions["losses"].update(
@@ -91,8 +93,8 @@ class SBModel(MD_VAE):
         if target in (Target.B_DETECTOR, Target.VAE, Target.TEST):
             fa_boundary = batch["fa_boundary_seq"][0]
             bd_out = self.modules["boundary_detector"].apply(
-                params["boundary_detector"], feats, feat_lens, fa_boundary,
-                rng=stream, train=train,
+                params["boundary_detector"], inputs["bdet_in"], feat_lens,
+                fa_boundary, rng=stream, train=train,
             )
             predictions["boundary_v"] = bd_out["boundary_v"]
             predictions["losses"].update(
@@ -100,9 +102,7 @@ class SBModel(MD_VAE):
             )
 
         if target in (Target.VAE, Target.TEST):
-            feat_fc_out = self.modules["feat_fc"].apply(
-                params["feat_fc"], feats
-            )
+            feat_fc_out = inputs["vae_in"]
             phn_fc_out = self.modules[self.PHN_FC_NAME].apply(
                 params[self.PHN_FC_NAME],
                 jax.lax.stop_gradient(predictions["phn_recog_out"]),

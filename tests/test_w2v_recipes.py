@@ -1,0 +1,111 @@
+"""Smoke tests for the wav2vec2 recipe family, including the
+saved-posteriors round trip into MD_VAE_sfl_saved_phn_recog."""
+import os
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("w2v_wd")
+    old = os.getcwd()
+    os.chdir(wd)
+    yield wd
+    os.chdir(old)
+
+
+def _args(recipe, n_epochs=1, extra_model=""):
+    model_yaml = REPO / f"mlvae_tpu/models/{recipe}/model.yaml"
+    overrides = "{model: {n_epochs: %d%s}}" % (n_epochs, extra_model)
+    return [
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", recipe,
+        "--model_name", f"{recipe}_smoke",
+        "--model", f"!include:{model_yaml}",
+        "--extra_overrides", overrides,
+        "--debug", "--debug_batches", "1",
+    ]
+
+
+def test_w2v_encoder_frame_rate():
+    import jax
+    from mlvae_tpu.modules.wav2vec2 import Wav2Vec2Encoder, conv_output_length
+
+    enc = Wav2Vec2Encoder(source="", output_size=64, context_layers=1)
+    params = enc.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+    wavs = jnp.zeros((2, 16000))
+    out = enc.apply(params, wavs)
+    # 16000 samples -> 49 frames (320x downsampling, exact w2v2 topology);
+    # fbank at 20 ms hop gives 51 -> diff in [-2, 0] like the reference
+    assert out.shape == (2, conv_output_length(16000), 64)
+    assert conv_output_length(16000) == 49
+
+
+def test_w2v_encoder_freeze_blocks_grads():
+    import jax
+    import jax.numpy as jnp
+    from mlvae_tpu.modules.wav2vec2 import Wav2Vec2Encoder
+
+    enc = Wav2Vec2Encoder(source="", output_size=32, context_layers=1,
+                          freeze=True)
+    params = enc.init(jax.random.PRNGKey(0))
+
+    def loss(p):
+        return jnp.sum(enc.apply(p, jnp.ones((1, 3200))))
+
+    grads = jax.grad(loss)(params)
+    assert all(float(jnp.abs(g).max()) == 0.0
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+@pytest.mark.parametrize("recipe", ["w2v_LSTM_FC", "w2v_MD_VAE"])
+def test_w2v_recipe_smoke(workdir, recipe):
+    from mlvae_tpu.cli import train as train_cli
+
+    train_cli.main(_args(recipe))
+    log = (workdir / f"results/{recipe}_smoke/train_log.txt").read_text()
+    assert "loss" in log
+
+
+def test_w2v_crdnn_cnncl_saves_posteriors_roundtrip(workdir):
+    from mlvae_tpu.cli import train as train_cli
+    from mlvae_tpu.cli import test as test_cli
+
+    train_cli.main(_args("w2v_CRDNN_CTC_cnncl"))
+    test_cli.main(_args("w2v_CRDNN_CTC_cnncl"))
+    saved = workdir / "results/w2v_CRDNN_CTC_cnncl_smoke/saved_phn_recog_outs.pkl"
+    assert saved.exists()
+    with open(saved, "rb") as f:
+        pouts = pickle.load(f)
+    assert len(pouts) > 0
+    for arr in pouts.values():
+        assert arr.ndim == 2 and arr.shape[1] == 14
+
+    # consume them in MD_VAE_sfl_saved_phn_recog (needs outputs for every
+    # utterance; extend with the train/valid sets' lengths)
+    from mlvae_tpu.cli.experiment import prepare_experiment
+    prepared = prepare_experiment(_args("MD_VAE"), prepare_exp_dir=False)
+    rs = np.random.RandomState(0)
+    for ds in prepared["datasets"]:
+        for utt_id in ds.ids:
+            if utt_id not in pouts:
+                T = len(ds.data[utt_id]["feat"])
+                pouts[utt_id] = rs.randn(T, 14).astype(np.float32)
+    with open(workdir / "results/all_phn_recog_outs.pkl", "wb") as f:
+        pickle.dump(pouts, f)
+
+    args = _args("MD_VAE_sfl_saved_phn_recog", n_epochs=2,
+                 extra_model=", phn_recog_outs_path: all_phn_recog_outs.pkl")
+    train_cli.main(args)
+    log = (workdir /
+           "results/MD_VAE_sfl_saved_phn_recog_smoke/train_log.txt").read_text()
+    assert "loss" in log
