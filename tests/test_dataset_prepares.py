@@ -1,0 +1,161 @@
+"""Dataset-prepare scripts over synthetic fixtures: TextGrid parsing,
+L2-ARCTIC, TIMIT, ChineseDPA, sclite parsing, external-source scoring,
+KoG2P."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mlvae_tpu.data.textgrid import read_textgrid, write_textgrid
+from mlvae_tpu.data.wav import write_wav
+from mlvae_tpu.utils.phonemes import PhonemeSetHandler
+
+
+def test_textgrid_roundtrip(tmp_path):
+    path = tmp_path / "x.TextGrid"
+    write_textgrid(path, {
+        "words": [(0.0, 0.5, "hello"), (0.5, 1.0, "world")],
+        "phones": [(0.0, 0.25, "hh"), (0.25, 0.5, "ah,aa"),
+                   (0.5, 1.0, "w")],
+    })
+    tg = read_textgrid(path)
+    words = tg.get_tier_by_name("words")
+    assert [i.text for i in words] == ["hello", "world"]
+    phones = tg.get_tier_by_name("phones")
+    assert [i.text for i in phones] == ["hh", "ah,aa", "w"]
+    assert phones.intervals[1].start_time == 0.25
+
+
+def test_l2_arctic_prepare(tmp_path):
+    from mlvae_tpu.data.datasets.L2_ARCTIC import prepare as l2
+
+    root = tmp_path / "L2_ARCTIC"
+    ds_dir = root / "original_dataset"
+    fa = {}
+    # one utterance per speaker across all splits
+    for spk in l2.TRAIN_SPKS[:2] + l2.VALID_SPKS[:1] + l2.TEST_SPKS[:1]:
+        (ds_dir / spk / "annotation").mkdir(parents=True)
+        (ds_dir / spk / "wav").mkdir(parents=True)
+        utt = "arctic_a0001"
+        write_textgrid(ds_dir / spk / "annotation" / f"{utt}.TextGrid", {
+            "words": [(0.0, 0.5, "hi")],
+            # 'ao,aa' = canonical ao, pronounced aa -> folded: both -> aa
+            # 'ih,iy1' = canonical ih, pronounced iy
+            "phones": [(0.0, 0.25, "ao"), (0.25, 0.5, "ih,iy1")],
+        })
+        write_wav(ds_dir / spk / "wav" / f"{utt}.wav",
+                  np.zeros(8000, np.float32))
+        fa[f"{spk}_a0001"] = [[0.0, 0.26], [0.26, 0.5]]
+    (root / "fa_segmentation.json").write_text(json.dumps(fa))
+
+    handler = PhonemeSetHandler("english", 39)
+    ann = root / "annotation"
+    l2.prepare(ds_dir, ann / "train.json", ann / "valid.json",
+               ann / "test.json", handler)
+    train = json.loads((ann / "train.json").read_text())
+    assert len(train) == 2
+    sample = next(iter(train.values()))
+    assert sample["txt_gt_cnncl_seq"] == ["aa", "ih"]  # ao folds to aa
+    assert sample["txt_gt_phn_seq"] == ["aa", "iy"]
+    assert sample["fa_seg_seq"] == [[0.0, 0.26], [0.26, 0.5]]
+    assert (root / "kaldi_data/train.utt2spk").exists()
+
+
+def test_timit_prepare(tmp_path):
+    from mlvae_tpu.data.datasets.TIMIT import prepare as timit
+
+    root = tmp_path / "TIMIT" / "original_dataset"
+    for split, spk in [("train", "mabc0"), ("test", "mdab0"),
+                       ("test", "faks0")]:
+        d = root / split / "dr1" / spk
+        d.mkdir(parents=True)
+        write_wav(d / "si1.wav", np.zeros(8000, np.float32))
+        # h# sil, ao->aa, q->err(dropped? no: q->err kept), kcl sil run
+        (d / "si1.phn").write_text(
+            "0 800 h#\n800 2400 ao\n2400 3200 kcl\n3200 4000 bcl\n"
+            "4000 7200 iy\n7200 8000 h#\n"
+        )
+        # SA files must be excluded
+        write_wav(d / "sa1.wav", np.zeros(8000, np.float32))
+        (d / "sa1.phn").write_text("0 8000 h#\n")
+
+    handler = PhonemeSetHandler("english", 39)
+    ann = tmp_path / "TIMIT" / "annotation"
+    timit.prepare(root, ann / "train.json", ann / "valid.json",
+                  ann / "test.json", handler)
+    train = json.loads((ann / "train.json").read_text())
+    assert list(train) == ["mabc0_si1"]
+    s = train["mabc0_si1"]
+    # h# sil kept, ao->aa, kcl+bcl fold to sil and collapse to ONE sil
+    assert s["txt_gt_phn_seq"] == ["sil", "aa", "sil", "iy", "sil"]
+    assert s["txt_gt_cnncl_seq"] == s["txt_gt_phn_seq"]
+    # collapsed sil spans stretch back to the previous phoneme's end
+    segs = s["gt_seg_seq"]
+    assert segs[2][0] == segs[1][1]
+    valid = json.loads((ann / "valid.json").read_text())
+    test = json.loads((ann / "test.json").read_text())
+    assert list(valid) == ["faks0_si1"]
+    assert list(test) == ["mdab0_si1"]
+
+
+def test_chinese_dpa_prepare(tmp_path):
+    from mlvae_tpu.data.datasets.ChineseDPA import prepare as dpa
+
+    root = tmp_path / "ChineseDPA" / "original_dataset"
+    (root / "formatted_chinese_dpa").mkdir(parents=True)
+    for set_name in ["train", "valid", "test"]:
+        meta = {"spk1": {f"{set_name}_u1": {
+            "wav_path": f"{set_name}_u1.wav", "duration": 0.5,
+        }}}
+        (root / f"metadata_{set_name}_spk_level.json").write_text(
+            json.dumps(meta)
+        )
+        write_wav(root / "formatted_chinese_dpa" / f"{set_name}_u1.wav",
+                  np.zeros(8000, np.float32))
+        write_textgrid(
+            root / "formatted_chinese_dpa" / f"{set_name}_u1.TextGrid",
+            {
+                "initial/final": [(0.0, 0.25, "zh1"), (0.25, 0.5, "ang4")],
+                "mispronunciation": [(0.0, 0.25, ""), (0.25, 0.5, "+")],
+            },
+        )
+    ann = tmp_path / "ChineseDPA" / "annotation"
+    dpa.prepare(root, ann / "train.json", ann / "valid.json",
+                ann / "test.json")
+    train = json.loads((ann / "train.json").read_text())
+    s = train["train_u1"]
+    assert s["txt_gt_cnncl_seq"] == ["zh", "ang"]  # tone digit stripped
+    assert s["txt_gt_phn_seq"] == ["zh", "err"]    # misp flagged -> err
+
+
+def test_parse_filt_prf(tmp_path):
+    from mlvae_tpu.data.parsers import parse_filt_prf
+
+    header = "\n" * 25
+    body = (
+        'File: utt1\n'
+        'REF:  one two *** three\n'
+        'HYP:  one six two three\n'
+        'H_T1: 0.0 0.5 0.9 1.0\n'
+        'H_T2: 0.5 0.9 1.0 1.5\n'
+    )
+    path = tmp_path / "x.filt.prf"
+    path.write_text(header + body)
+    out = parse_filt_prf(path, tmp_path / "out.json")
+    # insertion ('two' in HYP vs *** in REF slot) dropped; 3 entries remain
+    assert list(out) == ["utt1"]
+    assert len(out["utt1"]) == 3
+    assert out["utt1"][0] == [0.0, 0.5, "one"]
+    assert (tmp_path / "out.json").exists()
+
+
+def test_kog2p_basic():
+    from mlvae_tpu.utils.kog2p import g2p, decompose
+
+    syl = decompose("한")  # h-a-n
+    assert syl == [["h0", "aa", "nn"]]
+    phones = g2p("한국")
+    assert phones[0] == "h0" and "nn" in phones
+    # final-consonant neutralization: 빛 coda ch -> t0
+    assert g2p("빛")[-1] == "t0"
