@@ -26,6 +26,7 @@ from __future__ import annotations
 import logging
 import time
 from enum import Enum, auto
+from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -370,18 +371,35 @@ class Brain:
                 valid_set, Stage.VALID, **(valid_loader_kwargs or {})
             )
 
+        from mlvae_tpu.utils.profiling import StepTimer, trace
+        profile = bool(self.run_opts.get("profile", False))
+        self.step_timer = StepTimer()
+
         for epoch in epoch_counter:
             self.training = True
             self.on_stage_start(Stage.TRAIN, epoch)
             t0 = time.time()
             losses = []
-            for i, batch in enumerate(train_loader):
-                losses.append(self.fit_batch(batch))
-                if self.debug and i + 1 >= self.debug_batches:
-                    break
+            trace_dir = None
+            if profile and epoch == 1 and "output_dir" in self.hparams:
+                trace_dir = str(Path(self.hparams["output_dir"]) / "profile")
+            with trace(trace_dir or ".", enabled=trace_dir is not None):
+                for i, batch in enumerate(train_loader):
+                    self.step_timer.start()
+                    losses.append(self.fit_batch(batch))
+                    feats, lens = batch["feat"]
+                    frames = int(np.round(np.asarray(lens)
+                                          * feats.shape[1]).sum())
+                    self.step_timer.stop(frames)
+                    if self.debug and i + 1 >= self.debug_batches:
+                        break
             self.avg_train_loss = float(np.mean(losses)) if losses else 0.0
-            logger.info("epoch %d train: %.4f (%.1fs)", epoch,
-                        self.avg_train_loss, time.time() - t0)
+            summary = self.step_timer.summarize()
+            logger.info(
+                "epoch %d train: %.4f (%.1fs, %.0f utt-sec/sec)", epoch,
+                self.avg_train_loss, time.time() - t0,
+                summary.get("utt_sec_per_sec", 0.0),
+            )
             self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
 
             if valid_loader is not None:
