@@ -38,7 +38,7 @@ def main():
     from mlvae_tpu.models.MD_VAE.model import Target
     from mlvae_tpu.training.brain import Stage
 
-    B, T, L = 32, 160, 8  # 32 x 3.2-second utterances per step
+    B, T, L = 128, 160, 8  # 128 x 3.2-second utterances per step
     model = build_md_vae(batch_size=B)
     model.target = Target.VAE
     model.init_params()
