@@ -1,0 +1,192 @@
+"""Pallas TPU LSTM recurrence kernel (forward + custom-VJP backward).
+
+``lax.scan`` LSTMs pay a per-step XLA while-loop overhead that dominates at
+speech-model sizes (measured ~5 us/step vs ~0.2 us of matmul work on v5e).
+This kernel runs the WHOLE time loop inside one Mosaic program:
+
+* the input projection (the big (B*T, 4H) matmul) stays in XLA where the
+  MXU already runs it efficiently;
+* the kernel keeps h/c carries and the (H, 4H) recurrent weights resident
+  in VMEM across a sequential grid over T — no per-step dispatch, no
+  HBM round trip for the carry;
+* the backward kernel replays the recurrence in reverse (standard BPTT),
+  accumulating dW_hh in VMEM and emitting per-step gate grads from which
+  XLA recovers dX / dW_ih / db with one more big matmul.
+
+Exposed as ``lstm_layer(gates_x, w_hh)`` with a custom VJP; the nn.LSTM
+module uses it on TPU and falls back to ``lax.scan`` elsewhere.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref, gates_ref,
+                h_scr, c_scr, *, H: int):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    gates = gx_ref[0] + jnp.dot(h, whh_t_ref[:],
+                                preferred_element_type=jnp.float32)
+    gates_ref[0] = gates
+    i = _sigmoid(gates[:, 0 * H:1 * H])
+    f = _sigmoid(gates[:, 1 * H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = _sigmoid(gates[:, 3 * H:4 * H])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    hs_ref[0] = h_new
+    cs_ref[0] = c_new
+    h_scr[:] = h_new
+    c_scr[:] = c_new
+
+
+def _bwd_kernel(gates_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
+                whh_ref, dgx_ref, dwhh_ref, dh_scr, dc_scr,
+                *, H: int, T: int):
+    r = pl.program_id(0)  # 0 .. T-1, walking time BACKWARD via index maps
+
+    @pl.when(r == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        # dW_hh accumulates directly in the (constant-indexed, VMEM-resident)
+        # output block — no separate scratch
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+
+    gates = gates_ref[0]
+    i = _sigmoid(gates[:, 0 * H:1 * H])
+    f = _sigmoid(gates[:, 1 * H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = _sigmoid(gates[:, 3 * H:4 * H])
+    c_t = cs_ref[0]
+    c_prev = cs_prev_ref[0]   # zeros block at t == 0 (see index map)
+    h_prev = hs_prev_ref[0]
+
+    dh = dhs_ref[0] + dh_scr[:]
+    tanh_c = jnp.tanh(c_t)
+    do = dh * tanh_c
+    dc = dc_scr[:] + dh * o * (1.0 - tanh_c * tanh_c)
+    di = dc * g
+    dg = dc * i
+    df = dc * c_prev
+    dc_scr[:] = dc * f
+
+    dgates = jnp.concatenate([
+        di * i * (1.0 - i),
+        df * f * (1.0 - f),
+        dg * (1.0 - g * g),
+        do * o * (1.0 - o),
+    ], axis=1)  # (B, 4H)
+    dgx_ref[0] = dgates
+    dh_scr[:] = jnp.dot(dgates, whh_ref[:],
+                        preferred_element_type=jnp.float32)
+    dwhh_ref[:] = dwhh_ref[:] + jnp.dot(
+        h_prev.T, dgates, preferred_element_type=jnp.float32
+    )
+
+
+def _run_fwd(gates_x, w_hh, interpret: bool):
+    """gates_x: (T, B, 4H); w_hh: (4H, H) torch layout."""
+    T, B, G = gates_x.shape
+    H = G // 4
+    whh_t = w_hh.T  # (H, 4H)
+    hs, cs, gates = pl.pallas_call(
+        functools.partial(_fwd_kernel, H=H),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gates_x, whh_t)
+    return hs, cs, gates
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def lstm_layer(gates_x, w_hh, interpret: bool = False):
+    """Pallas LSTM recurrence: (T, B, 4H) pre-gates + (4H, H) W_hh ->
+    (T, B, H) hidden states."""
+    hs, _, _ = _run_fwd(gates_x, w_hh, interpret)
+    return hs
+
+
+def _vjp_fwd(gates_x, w_hh, interpret):
+    hs, cs, gates = _run_fwd(gates_x, w_hh, interpret)
+    return hs, (w_hh, hs, cs, gates)
+
+
+def _vjp_bwd(interpret, residuals, dhs):
+    w_hh, hs, cs, gates = residuals
+    T, B, H = hs.shape
+    G = 4 * H
+    # shifted (t-1) views with a zero block at t == 0
+    zero_h = jnp.zeros((1, B, H), jnp.float32)
+    cs_prev = jnp.concatenate([zero_h, cs[:-1]], axis=0)
+    hs_prev = jnp.concatenate([zero_h, hs[:-1]], axis=0)
+
+    rev = lambda r: (T - 1 - r, 0, 0)  # walk time backward
+    dgx, dwhh = pl.pallas_call(
+        functools.partial(_bwd_kernel, H=H, T=T),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),  # gates
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # h_prev
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # dhs
+            pl.BlockSpec((G, H), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),                  # w_hh
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
+            jax.ShapeDtypeStruct((H, G), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gates, cs_prev, cs, hs_prev, dhs, w_hh)
+    return dgx, dwhh.T
+
+
+lstm_layer.defvjp(_vjp_fwd, _vjp_bwd)

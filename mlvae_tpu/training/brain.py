@@ -85,6 +85,10 @@ class Brain:
             from mlvae_tpu.parallel.mesh import make_mesh
             self.mesh = make_mesh(self.run_opts.get("num_devices"))
             logger.info("data-parallel over %d devices", self.mesh.size)
+            # XLA cannot partition the Pallas LSTM custom call across a
+            # mesh; fall back to the scan recurrence under DP
+            from mlvae_tpu.nn import rnn as _rnn
+            _rnn.PALLAS_LSTM_ENABLED = False
         self.params: Optional[Dict[str, Any]] = None
         self.states: Dict[str, Any] = {}
         self.optimizers: Dict[str, Tuple[Any, Optional[List[str]]]] = {}
