@@ -1,0 +1,56 @@
+"""Waveform augmentation (the optional ``hparams['augmentation']`` hook of
+the reference's data pipeline, ``utils/data_io.py:204-207``; consumed by
+LSTM_FC's aug_feat path).
+
+Host-side, applied once at dataset-computation time (the computed cache
+stores the augmented variants), so it stays out of the jitted step.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class WaveAugment:
+    """Speed perturbation + additive noise, deterministic per call order.
+
+    YAML-visible, e.g.::
+
+        augmentation: !new:mlvae_tpu.ops.augment.WaveAugment
+            speeds: [0.95, 1.05]
+            noise_snr_db: 30
+    """
+
+    def __init__(self, speeds=(0.95, 1.0, 1.05), noise_snr_db: float = 30.0,
+                 seed: int = 917):
+        self.speeds = list(speeds)
+        self.noise_snr_db = float(noise_snr_db)
+        self._rs = np.random.RandomState(seed)
+
+    def _speed(self, wave: np.ndarray, factor: float) -> np.ndarray:
+        if factor == 1.0:
+            return wave
+        n_out = int(round(len(wave) / factor))
+        idx = np.linspace(0, len(wave) - 1, n_out)
+        lo = np.floor(idx).astype(int)
+        hi = np.minimum(lo + 1, len(wave) - 1)
+        frac = idx - lo
+        return ((1 - frac) * wave[lo] + frac * wave[hi]).astype(np.float32)
+
+    def __call__(self, waves, lens=None):
+        waves = np.atleast_2d(np.asarray(waves, np.float32))
+        out = []
+        for wave in waves:
+            speed = self.speeds[self._rs.randint(len(self.speeds))]
+            aug = self._speed(wave, speed)
+            # pad/trim back to the original length so frame-level labels
+            # stay aligned (the reference asserts matching feat lengths)
+            if len(aug) < len(wave):
+                aug = np.pad(aug, (0, len(wave) - len(aug)))
+            else:
+                aug = aug[: len(wave)]
+            power = np.mean(aug ** 2) + 1e-12
+            noise_power = power / (10 ** (self.noise_snr_db / 10))
+            aug = aug + self._rs.randn(len(aug)).astype(np.float32) * \
+                np.sqrt(noise_power)
+            out.append(aug)
+        return np.stack(out)
