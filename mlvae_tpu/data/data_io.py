@@ -61,12 +61,24 @@ OUTPUT_KEYS = [
 # native Kaldi-equivalent feature pass (fbank + deltas + speaker CMVN)
 # ---------------------------------------------------------------------------
 
+def _native_lib():
+    try:
+        from mlvae_tpu import native
+        return native if native.load() is not None else None
+    except Exception:
+        return None
+
+
 def compute_kaldi_features(hparams, set_name: str) -> Dict[str, np.ndarray]:
     """Two passes over a set: extract fbank+deltas per utterance, then apply
-    per-speaker CMVN (norm_vars) using the utt2spk mapping."""
+    per-speaker CMVN (norm_vars) using the utt2spk mapping.
+
+    Uses the native C++ front-end when the toolchain is available (fastest
+    host path); otherwise the fused JAX extractor."""
     dataset_dir = Path(hparams["prepare"]["dataset_dir"]).parent
     kaldi_dir = dataset_dir / "kaldi_data"
     fp = hparams["kaldi_feature_params"]
+    native = _native_lib()
     extractor = KaldiFbank(
         sample_rate=fp["sample_rate"], hop_length=fp["hop_length"],
         n_fft=fp["n_fft"], n_mels=fp["n_mels"],
@@ -83,13 +95,22 @@ def compute_kaldi_features(hparams, set_name: str) -> Dict[str, np.ndarray]:
             utt_id, path = line.split(None, 1)
             wav_paths[utt_id] = path.strip()
 
+    shift = int(fp["sample_rate"] * fp["hop_length"] / 1000)
     feats: Dict[str, np.ndarray] = {}
     for utt_id, path in wav_paths.items():
         wav, sr = read_wav(path)
         if sr != fp["sample_rate"]:
             wav = resample(wav, sr, fp["sample_rate"])
         # Kaldi operates on int16-scale samples
-        feats[utt_id] = np.asarray(extractor((wav * 32768.0)[None]))[0]
+        wav16 = wav * 32768.0
+        if native is not None:
+            fb = native.kaldi_fbank(
+                wav16, sample_rate=fp["sample_rate"], shift=shift,
+                window=fp["n_fft"], n_mels=fp["n_mels"],
+            )
+            feats[utt_id] = native.add_deltas(fb)
+        else:
+            feats[utt_id] = np.asarray(extractor(wav16[None]))[0]
 
     # per-speaker sufficient statistics
     by_spk: Dict[str, List[str]] = {}
