@@ -191,8 +191,12 @@ class MDModel(Brain):
     def _restore_state(self, restored, ckpt):
         if "params" in restored:
             self.params = restored["params"]
-        if "states" in restored:
+        if restored.get("states"):
             self.states = restored["states"]
+        elif (ckpt.path / "states.npz").exists():
+            # running states (normalizer stats) are lazily shaped; restore
+            # them once ensure_states builds the templates
+            self._pending_states_ckpt = ckpt
         for name in self.opt_states:
             key = f"opt__{name}"
             if key in restored:

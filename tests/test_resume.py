@@ -1,0 +1,53 @@
+"""Checkpoint/resume: a fresh process (fresh model object) resumes training
+from the newest checkpoint — params, optimizer state, normalizer statistics,
+and the epoch counter all restored (reference recovery = checkpoint resume
+only, SURVEY §5)."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _args(n_epochs):
+    model_yaml = REPO / "mlvae_tpu/models/test_vanilla_vae/model.yaml"
+    return [
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", "test_vanilla_vae",
+        "--model_name", "resume_test",
+        "--model", f"!include:{model_yaml}",
+        "--extra_overrides", "{model: {n_epochs: %d}}" % n_epochs,
+        "--debug", "--debug_batches", "1",
+    ]
+
+
+def test_resume_from_checkpoint(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from mlvae_tpu.cli import train as train_cli
+
+    model1 = train_cli.main(_args(2))
+    params_after_2 = np.asarray(model1.params["encoder"]["mean_fc"]["weight"])
+    count_after_2 = float(model1.states["normalizer"]["count"])
+    ckpts = list((tmp_path / "results/resume_test/checkpoints").iterdir())
+    assert ckpts
+
+    # "new process": a fresh model instance; fit with a higher epoch limit
+    model2 = train_cli.main(_args(4))
+    # resumed: epochs 3 and 4 ran on top of the restored state, so the
+    # normalizer count kept growing from the restored value (not from zero)
+    assert model2.hparams["epoch_counter"].current == 4
+    count_after_4 = float(model2.states["normalizer"]["count"])
+    assert count_after_4 > count_after_2
+    # parameters moved on from (not equal to) the 2-epoch state
+    params_after_4 = np.asarray(model2.params["encoder"]["mean_fc"]["weight"])
+    assert not np.allclose(params_after_4, params_after_2)
+
+    log = (tmp_path / "results/resume_test/train_log.txt").read_text()
+    # epochs 1-2 from run 1, 3-4 from run 2; epoch 1/2 not re-run in run 2
+    assert log.count("stage: train, epoch: 2") == 1
+    assert "stage: train, epoch: 3" in log
