@@ -17,6 +17,8 @@ RUN_OPT_KEYS = {
     "debug_batches": int,
     "debug_epochs": int,
     "device": str,
+    "bf16": bool,
+    "auto_mix_prec": bool,
     "max_grad_norm": float,
     "noprogressbar": bool,
     "data_parallel": bool,

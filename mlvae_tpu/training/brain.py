@@ -64,6 +64,15 @@ def _global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 class Brain:
     def __init__(self, modules: Dict[str, Any], hparams: Dict[str, Any],
                  run_opts: Optional[Dict] = None, checkpointer=None,
@@ -78,6 +87,13 @@ class Brain:
         self.debug = bool(self.run_opts.get("debug", False))
         self.debug_batches = int(self.run_opts.get("debug_batches", 2))
         self.max_grad_norm = float(self.run_opts.get("max_grad_norm", 5.0))
+        # mixed precision (parity with sb.Brain's auto_mix_prec AMP path,
+        # reference md_model.py:60-76): bf16 compute, f32 params/grads/losses.
+        # No loss scaling needed — bf16 shares f32's exponent range.
+        self.auto_mix_prec = bool(
+            self.run_opts.get("bf16", self.run_opts.get("auto_mix_prec",
+                                                        False))
+        )
 
         self.rng = jax.random.PRNGKey(seed_util.get_seed())
         self.mesh = None
@@ -183,9 +199,18 @@ class Brain:
 
         def step(params, opt_states, states, rng, batch, epoch):
             def loss_fn(p):
+                b, s = batch, states
+                if self.auto_mix_prec:
+                    p = _cast_floats(p, jnp.bfloat16)
+                    b = _cast_floats(batch, jnp.bfloat16)
+                    s = _cast_floats(states, jnp.bfloat16)
                 preds, new_states = self.compute_forward(
-                    p, states, batch, Stage.TRAIN, rng, epoch
+                    p, s, b, Stage.TRAIN, rng, epoch
                 )
+                if self.auto_mix_prec:
+                    # losses/objectives and running states stay f32
+                    preds = _cast_floats(preds, jnp.float32)
+                    new_states = _cast_floats(new_states, jnp.float32)
                 loss, losses = self.compute_objectives(
                     preds, batch, Stage.TRAIN
                 )
