@@ -1,0 +1,46 @@
+"""Remaining CLI surfaces: test_on_three_sets and the ingestion tool."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_ingest_cli(tmp_path):
+    from mlvae_tpu.cli.ingest import ingest
+    from mlvae_tpu.data.wav import read_wav, write_wav
+
+    src = tmp_path / "src" / "spk"
+    src.mkdir(parents=True)
+    t = np.arange(11025) / 22050.0
+    write_wav(src / "a.wav", 0.3 * np.sin(2 * np.pi * 220 * t), 22050)
+    n = ingest(tmp_path / "src", tmp_path / "dst", rate=16000)
+    assert n == 1
+    wave, sr = read_wav(tmp_path / "dst/spk/a.wav")
+    assert sr == 16000
+    assert abs(len(wave) - 8000) <= 8
+
+
+def test_test_on_three_sets(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from mlvae_tpu.cli import train as train_cli
+    from mlvae_tpu.cli import test_on_three_sets as three_cli
+
+    model_yaml = REPO / "mlvae_tpu/models/test_vanilla_vae/model.yaml"
+    args = [
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", "test_vanilla_vae",
+        "--model_name", "three_sets",
+        "--model", f"!include:{model_yaml}",
+        "--extra_overrides", "{model: {n_epochs: 1}}",
+        "--debug", "--debug_batches", "1",
+    ]
+    train_cli.main(args)
+    model = three_cli.main(args)
+    out = tmp_path / "results/three_sets/test_output/test_metrics.txt"
+    assert out.exists()
