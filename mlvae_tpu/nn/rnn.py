@@ -54,7 +54,10 @@ def _pallas_eligible(x, H: int) -> bool:
     except Exception:
         return False
     B = x.shape[0]
-    return (x.dtype == jnp.float32 and B % 8 == 0 and H % 128 == 0)
+    # bf16 inputs are accepted too: the gate projection runs in bf16 on the
+    # MXU and the recurrence casts to f32 at the kernel boundary
+    return (x.dtype in (jnp.float32, jnp.bfloat16)
+            and B % 8 == 0 and H % 128 == 0)
 
 
 def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
@@ -69,13 +72,13 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
 
     if _pallas_eligible(x, H):
         from mlvae_tpu.ops.lstm_pallas import lstm_layer as pallas_lstm
-        gx_t = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4H)
+        gx_t = jnp.swapaxes(gates_x, 0, 1).astype(jnp.float32)  # (T, B, 4H)
         if reverse:
             gx_t = jnp.flip(gx_t, axis=0)
-        hs = pallas_lstm(gx_t, w_hh)
+        hs = pallas_lstm(gx_t, w_hh.astype(jnp.float32))
         if reverse:
             hs = jnp.flip(hs, axis=0)
-        return jnp.swapaxes(hs, 0, 1)
+        return jnp.swapaxes(hs, 0, 1).astype(x.dtype)
 
     w_hh_t = w_hh.T  # (H, 4H)
 
