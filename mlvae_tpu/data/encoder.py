@@ -48,6 +48,9 @@ class LabelEncoder:
     def insert_blank(self, index: int = 0):
         self.insert_label(self.BLANK, index)
 
+    def get_blank_index(self) -> int:
+        return self.lab2ind[self.BLANK]
+
     # -- encode / decode ------------------------------------------------------
     def encode_label(self, label: str) -> int:
         return self.lab2ind[label]

@@ -156,3 +156,33 @@ b: !ref <a> * 2
 """
     h = load_hyperyaml(y, overrides={"a": 5})
     assert h["b"] == 10
+
+
+def test_resolve_references_stream_output():
+    from mlvae_tpu.hyperyaml import resolve_references
+    import yaml as pyyaml
+    out = resolve_references("a: 3\nb: !ref <a> * 2\n").getvalue()
+    data = pyyaml.safe_load(out.replace("!new:", ""))
+    assert data["b"] == 6
+
+
+def test_dump_hyperyaml_tags():
+    from io import StringIO
+    from mlvae_tpu.hyperyaml import dump_hyperyaml, Placeholder, RefTag
+    sio = StringIO()
+    dump_hyperyaml({"a": Placeholder(), "b": RefTag("<a>")}, sio)
+    text = sio.getvalue()
+    assert "!PLACEHOLDER" in text and "!ref" in text and "<a>" in text
+
+
+def test_explicit_tuple_tag():
+    h = load_hyperyaml("a: !tuple (1, 2, 3)")
+    assert h["a"] == (1, 2, 3)
+
+
+def test_label_encoder_blank_index():
+    from mlvae_tpu.data.encoder import LabelEncoder
+    enc = LabelEncoder()
+    enc.update_from_iterable(["x", "y"])
+    enc.insert_blank(index=0)
+    assert enc.get_blank_index() == 0
