@@ -112,7 +112,10 @@ class SBModel(MDModel):
         log_p_y = dec.clamped_log(jnp.stack([prior, 1 - prior], axis=1))
         bv = predictions["boundary_v"]
         log_p_b = dec.clamped_log(jnp.stack([bv, 1 - bv], axis=2))
-        log_p_pi = jax.nn.log_softmax(predictions["pi_logits"], axis=-1)
+        # 1e-5 probability clamp before the log, like the reference's log()
+        log_p_pi = dec.clamped_log(
+            jax.nn.softmax(predictions["pi_logits"], axis=-1)
+        )
 
         boundary, flvl, plvl = dec.md_viterbi_batch(
             jax.lax.stop_gradient(log_p_yx), log_p_y,

@@ -67,9 +67,11 @@ class InputNormalization(Module):
 
         # global: fold batch stats into running averages when updating
         count = state["count"]
+        # stats update while epoch < update_until_epoch (SpeechBrain freezes
+        # from that epoch on)
         do_update = jnp.asarray(
             update and True, jnp.float32
-        ) * (jnp.asarray(epoch, jnp.float32) <= self.update_until_epoch)
+        ) * (jnp.asarray(epoch, jnp.float32) < self.update_until_epoch)
         new_count = count + do_update * B
         w_old = jnp.where(new_count > 0, count / jnp.maximum(new_count, 1.0), 0.0)
         w_new = jnp.where(new_count > 0, 1.0 - w_old, 0.0)

@@ -61,7 +61,12 @@ def _pallas_eligible(x, H: int) -> bool:
 
 
 def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
-    """Run one unidirectional LSTM layer over (B, T, C) input."""
+    """Run one unidirectional LSTM layer over (B, T, C) input.
+
+    Returns (hs (B, T, H), h_last (B, H), c_last (B, H)); the finals are the
+    state after the last PROCESSED step (for ``reverse=True`` that is t=0,
+    matching torch's bidirectional convention).
+    """
     # One big MXU matmul for all timesteps.
     gates_x = (
         jnp.einsum("btc,gc->btg", x, w_ih, preferred_element_type=x.dtype)
@@ -75,10 +80,12 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         gx_t = jnp.swapaxes(gates_x, 0, 1).astype(jnp.float32)  # (T, B, 4H)
         if reverse:
             gx_t = jnp.flip(gx_t, axis=0)
-        hs = pallas_lstm(gx_t, w_hh.astype(jnp.float32))
+        hs, c_last = pallas_lstm(gx_t, w_hh.astype(jnp.float32))
+        h_last = hs[-1]
         if reverse:
             hs = jnp.flip(hs, axis=0)
-        return jnp.swapaxes(hs, 0, 1).astype(x.dtype)
+        return (jnp.swapaxes(hs, 0, 1).astype(x.dtype),
+                h_last.astype(x.dtype), c_last.astype(x.dtype))
 
     w_hh_t = w_hh.T  # (H, 4H)
 
@@ -88,8 +95,9 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         return (h, c), h
 
     gx_t = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4H)
-    (_, _), hs = jax.lax.scan(step, (h0, c0), gx_t, reverse=reverse)
-    return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    (h_last, c_last), hs = jax.lax.scan(step, (h0, c0), gx_t,
+                                        reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1), h_last, c_last  # (B, T, H)
 
 
 def _bilstm_layer(x, w_ih_f, w_hh_f, b_f, w_ih_b, w_hh_b, b_b):
@@ -105,10 +113,11 @@ def _bilstm_layer(x, w_ih_f, w_hh_f, b_f, w_ih_b, w_hh_b, b_b):
     B = x.shape[0]
     H = w_hh_f.shape[1]
     z = jnp.zeros((B, H), x.dtype)
-    fwd = _lstm_layer(x, z, z, w_ih_f, w_hh_f, b_f, jnp.zeros_like(b_f))
-    bwd = _lstm_layer(x, z, z, w_ih_b, w_hh_b, b_b, jnp.zeros_like(b_b),
-                      reverse=True)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+    fwd, h_f, c_f = _lstm_layer(x, z, z, w_ih_f, w_hh_f, b_f,
+                                jnp.zeros_like(b_f))
+    bwd, h_b, c_b = _lstm_layer(x, z, z, w_ih_b, w_hh_b, b_b,
+                                jnp.zeros_like(b_b), reverse=True)
+    return jnp.concatenate([fwd, bwd], axis=-1), [(h_f, c_f), (h_b, c_b)]
 
 
 class LSTM(Module):
@@ -179,7 +188,7 @@ class LSTM(Module):
         last_c = []
         for layer in range(self.num_layers):
             if self.bidirectional:
-                out = _bilstm_layer(
+                out, finals = _bilstm_layer(
                     out,
                     params[f"weight_ih_l{layer}"],
                     params[f"weight_hh_l{layer}"],
@@ -189,22 +198,21 @@ class LSTM(Module):
                     params[f"bias_ih_l{layer}_reverse"]
                     + params[f"bias_hh_l{layer}_reverse"],
                 )
-                last_h.append(out[:, -1, :H])
-                last_c.append(out[:, -1, :H])
-                last_h.append(out[:, 0, H:])
-                last_c.append(out[:, 0, H:])
+                for h_f, c_f in finals:
+                    last_h.append(h_f)
+                    last_c.append(c_f)
             else:
                 h0 = jnp.zeros((B, H), out.dtype)
                 c0 = jnp.zeros((B, H), out.dtype)
-                out = _lstm_layer(
+                out, h_last, c_last = _lstm_layer(
                     out, h0, c0,
                     params[f"weight_ih_l{layer}"],
                     params[f"weight_hh_l{layer}"],
                     params[f"bias_ih_l{layer}"],
                     params[f"bias_hh_l{layer}"],
                 )
-                last_h.append(out[:, -1, :])
-                last_c.append(out[:, -1, :])
+                last_h.append(h_last)
+                last_c.append(c_last)
             # torch applies dropout on every layer's output except the last.
             if layer < self.num_layers - 1 and self.dropout > 0 and train:
                 out = dropout(stream.next(), out, self.dropout, train)

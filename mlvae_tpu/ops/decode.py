@@ -243,7 +243,10 @@ def decode_plvl_md_lbl_seqs_full(
     log_p_y = clamped_log(jnp.stack([prior, 1 - prior], axis=1))
     bv = jnp.asarray(predictions["boundary_v"])
     log_p_b = clamped_log(jnp.stack([bv, 1 - bv], axis=2))
-    log_p_pi = jax.nn.log_softmax(jnp.asarray(predictions["pi_logits"]), axis=-1)
+    # the reference clamps the pi probabilities at 1e-5 before the log too
+    log_p_pi = clamped_log(
+        jax.nn.softmax(jnp.asarray(predictions["pi_logits"]), axis=-1)
+    )
 
     boundary, flvl, plvl = md_viterbi_batch(
         log_p_yx, log_p_y, jnp.asarray(plvl_cnnl_seqs).astype(jnp.int32),

@@ -76,6 +76,27 @@ def kaldi_frame_counts(lengths, shift: int):
     return (lengths + shift // 2) // shift
 
 
+def kaldi_frame_gather(waves, lengths, max_frames: int, shift: int,
+                       window: int):
+    """Snip-edges=false framing: centered frames with edge reflection.
+
+    Shared by the XLA and Pallas fbank paths (single source of truth for the
+    reflection semantics).  waves (B, Lmax), lengths (B,) ->
+    frames (B, max_frames, window).
+    """
+    B, Lmax = waves.shape
+    t = jnp.arange(max_frames)[:, None]
+    j = t * shift + shift // 2 - window // 2 + jnp.arange(window)[None, :]
+    j = jnp.broadcast_to(j, (B, max_frames, window))
+    L = lengths[:, None, None]
+    j = jnp.where(j < 0, -j - 1, j)
+    j = jnp.where(j >= L, 2 * L - 1 - j, j)
+    j = jnp.clip(j, 0, Lmax - 1)
+    return jnp.take_along_axis(
+        waves[:, None, :], j.reshape(B, -1)[:, None, :], axis=2
+    ).reshape(B, max_frames, window)
+
+
 @functools.partial(
     jax.jit, static_argnames=("sr", "shift", "window", "n_mels", "max_frames")
 )
@@ -92,19 +113,8 @@ def kaldi_fbank_batch(
     """Batched Kaldi-semantics log-mel: returns ((B, max_frames, n_mels),
     (B,) frame counts).  Frames beyond a sample's count are zeroed."""
     cos_m, sin_m, banks, ham = _kaldi_consts(sr, window, n_mels)
-    B, Lmax = waves.shape
     n_frames = kaldi_frame_counts(lengths, shift)  # (B,)
-
-    t = jnp.arange(max_frames)[:, None]
-    j = t * shift + shift // 2 - window // 2 + jnp.arange(window)[None, :]
-    j = jnp.broadcast_to(j, (B, max_frames, window))
-    L = lengths[:, None, None]
-    j = jnp.where(j < 0, -j - 1, j)
-    j = jnp.where(j >= L, 2 * L - 1 - j, j)
-    j = jnp.clip(j, 0, Lmax - 1)
-    frames = jnp.take_along_axis(
-        waves[:, None, :], j.reshape(B, -1)[:, None, :], axis=2
-    ).reshape(B, max_frames, window)
+    frames = kaldi_frame_gather(waves, lengths, max_frames, shift, window)
 
     frames = frames - frames.mean(axis=-1, keepdims=True)  # remove_dc_offset
     shifted = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)

@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mlvae_tpu.ops import frontend_ref as ref
-from mlvae_tpu.ops.fbank import kaldi_frame_counts, _dft_matrices
+from mlvae_tpu.ops.fbank import (kaldi_frame_counts, kaldi_frame_gather,
+                                 _dft_matrices)
 
 _BLOCK_T = 128
 
@@ -94,17 +95,8 @@ def kaldi_fbank_pallas(
     B, Lmax = waves.shape
     n_frames = kaldi_frame_counts(lengths, shift)
 
-    # XLA framing gather with snip-edges=false reflection
-    t = jnp.arange(max_frames)[:, None]
-    j = t * shift + shift // 2 - window // 2 + jnp.arange(window)[None, :]
-    j = jnp.broadcast_to(j, (B, max_frames, window))
-    L = lengths[:, None, None]
-    j = jnp.where(j < 0, -j - 1, j)
-    j = jnp.where(j >= L, 2 * L - 1 - j, j)
-    j = jnp.clip(j, 0, Lmax - 1)
-    frames = jnp.take_along_axis(
-        waves[:, None, :], j.reshape(B, -1)[:, None, :], axis=2
-    ).reshape(B, max_frames, window)
+    # XLA framing gather with snip-edges=false reflection (shared helper)
+    frames = kaldi_frame_gather(waves, lengths, max_frames, shift, window)
     frames = jnp.pad(frames, ((0, 0), (0, 0), (0, padded - window)))
 
     # flatten to (rows, padded) with rows a multiple of the block size

@@ -57,14 +57,14 @@ def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref, gates_ref,
 
 
 def _bwd_kernel(gates_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
-                whh_ref, dgx_ref, dwhh_ref, dh_scr, dc_scr,
+                dc_last_ref, whh_ref, dgx_ref, dwhh_ref, dh_scr, dc_scr,
                 *, H: int, T: int):
     r = pl.program_id(0)  # 0 .. T-1, walking time BACKWARD via index maps
 
     @pl.when(r == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
-        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dc_scr[:] = dc_last_ref[:]  # cotangent of the returned final c
         # dW_hh accumulates directly in the (constant-indexed, VMEM-resident)
         # output block — no separate scratch
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
@@ -139,17 +139,18 @@ def _run_fwd(gates_x, w_hh, interpret: bool):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def lstm_layer(gates_x, w_hh, interpret: bool = False):
     """Pallas LSTM recurrence: (T, B, 4H) pre-gates + (4H, H) W_hh ->
-    (T, B, H) hidden states."""
-    hs, _, _ = _run_fwd(gates_x, w_hh, interpret)
-    return hs
+    ((T, B, H) hidden states, (B, H) final cell state)."""
+    hs, cs, _ = _run_fwd(gates_x, w_hh, interpret)
+    return hs, cs[-1]
 
 
 def _vjp_fwd(gates_x, w_hh, interpret):
     hs, cs, gates = _run_fwd(gates_x, w_hh, interpret)
-    return hs, (w_hh, hs, cs, gates)
+    return (hs, cs[-1]), (w_hh, hs, cs, gates)
 
 
-def _vjp_bwd(interpret, residuals, dhs):
+def _vjp_bwd(interpret, residuals, cotangents):
+    dhs, dc_last = cotangents
     w_hh, hs, cs, gates = residuals
     T, B, H = hs.shape
     G = 4 * H
@@ -168,6 +169,8 @@ def _vjp_bwd(interpret, residuals, dhs):
             pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # c_t
             pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # h_prev
             pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # dhs
+            pl.BlockSpec((B, H), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),                  # dc_last
             pl.BlockSpec((G, H), lambda r: (0, 0),
                          memory_space=pltpu.VMEM),                  # w_hh
         ],
@@ -185,7 +188,7 @@ def _vjp_bwd(interpret, residuals, dhs):
             pltpu.VMEM((B, H), jnp.float32),
         ],
         interpret=interpret,
-    )(gates, cs_prev, cs, hs_prev, dhs, w_hh)
+    )(gates, cs_prev, cs, hs_prev, dhs, dc_last, w_hh)
     return dgx, dwhh.T
 
 

@@ -64,10 +64,15 @@ def _global_norm(tree) -> jnp.ndarray:
     return jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))
 
 
-def _cast_floats(tree, dtype):
+def _cast_floats(tree, dtype, min_ndim: int = 0):
+    """Cast float leaves to ``dtype``.  ``min_ndim`` protects small control
+    tensors: relative-length vectors (1-D) and scalar counters must NEVER be
+    cast to bf16 — round(rel * T) recovers absolute lengths and bf16
+    round-trips corrupt them by 1-2 frames."""
     return jax.tree_util.tree_map(
         lambda x: x.astype(dtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        if (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            and getattr(x, "ndim", 0) >= min_ndim)
         else x,
         tree,
     )
@@ -202,8 +207,11 @@ class Brain:
                 b, s = batch, states
                 if self.auto_mix_prec:
                     p = _cast_floats(p, jnp.bfloat16)
-                    b = _cast_floats(batch, jnp.bfloat16)
-                    s = _cast_floats(states, jnp.bfloat16)
+                    # batch: cast data arrays (ndim >= 2) only — never the
+                    # relative-length vectors; states: cast stat vectors but
+                    # not scalar counters
+                    b = _cast_floats(batch, jnp.bfloat16, min_ndim=2)
+                    s = _cast_floats(states, jnp.bfloat16, min_ndim=1)
                 preds, new_states = self.compute_forward(
                     p, s, b, Stage.TRAIN, rng, epoch
                 )
@@ -223,8 +231,12 @@ class Brain:
             gnorm = _global_norm(grads)
             finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
             clip = jnp.minimum(1.0, self.max_grad_norm / (gnorm + 1e-12))
-            scale = jnp.where(finite, clip, 0.0)
-            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            # non-finite step: REPLACE grads with zeros (NaN * 0 is NaN —
+            # multiplying would poison optimizer state permanently)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g * clip, jnp.zeros_like(g)),
+                grads,
+            )
 
             new_params = dict(params)
             new_opt_states = {}
@@ -294,9 +306,13 @@ class Brain:
     # fit / evaluate loops
     # ------------------------------------------------------------------
     def make_dataloader(self, dataset, stage: Stage, **loader_kwargs):
+        # duration-sorted configs set shuffle=False (reference
+        # data_io.py:155-158); 'sorting: random' keeps shuffle=True, which
+        # here shuffles BATCH order each epoch (samples stay grouped to keep
+        # padded shapes stable for jit)
         kwargs = dict(loader_kwargs)
-        kwargs.pop("shuffle", None)
-        return DataLoader(dataset, shuffle=False, **kwargs)
+        shuffle = bool(kwargs.pop("shuffle", False)) and stage == Stage.TRAIN
+        return DataLoader(dataset, shuffle=shuffle, **kwargs)
 
     def on_fit_start(self):
         if self.params is None:

@@ -98,9 +98,12 @@ class Checkpointer:
                            meta: Optional[Dict[str, Any]] = None,
                            max_keys: Optional[List[str]] = None,
                            min_keys: Optional[List[str]] = None,
-                           num_to_keep: int = 1):
-        """Save, then delete every checkpoint that is not among the best
-        ``num_to_keep`` under any of the given keys (nor the newest)."""
+                           num_to_keep: int = 1,
+                           keep_recent: bool = True):
+        """Save, then delete every checkpoint that is neither among the best
+        ``num_to_keep`` under any of the given keys nor (with
+        ``keep_recent``, SpeechBrain's default) the newest — the newest is
+        what fit-resume restarts from."""
         self.save_checkpoint(state, meta)
         keep = set()
         ckpts = self.list_checkpoints()
@@ -112,7 +115,7 @@ class Checkpointer:
             ranked = sorted([c for c in ckpts if key in c.meta],
                             key=lambda c: c.meta[key])
             keep.update(str(c.path) for c in ranked[:num_to_keep])
-        if not keep:  # no keys: keep the newest
+        if keep_recent or not keep:
             newest = max(ckpts, key=lambda c: c.meta.get("unixtime", 0))
             keep.add(str(newest.path))
         for c in ckpts:

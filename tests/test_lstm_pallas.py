@@ -34,10 +34,11 @@ def test_pallas_lstm_forward_matches_scan():
     rs = np.random.RandomState(0)
     gx = jnp.asarray(rs.randn(24, 8, 64) * 0.5, jnp.float32)
     w = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
-    hs_p = lstm_layer(gx, w, True)
+    hs_p, c_last = lstm_layer(gx, w, True)
     hs_s = _scan_lstm(gx, w)
     np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
                                rtol=1e-5, atol=1e-6)
+    assert c_last.shape == (8, 16)
 
 
 def test_pallas_lstm_gradients_match_scan():
@@ -45,7 +46,7 @@ def test_pallas_lstm_gradients_match_scan():
     gx = jnp.asarray(rs.randn(16, 8, 64) * 0.5, jnp.float32)
     w = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
 
-    gp = jax.grad(lambda g, ww: jnp.sum(lstm_layer(g, ww, True) ** 2),
+    gp = jax.grad(lambda g, ww: jnp.sum(lstm_layer(g, ww, True)[0] ** 2),
                   argnums=(0, 1))(gx, w)
     gs = jax.grad(lambda g, ww: jnp.sum(_scan_lstm(g, ww) ** 2),
                   argnums=(0, 1))(gx, w)
@@ -53,3 +54,40 @@ def test_pallas_lstm_gradients_match_scan():
         rel = float(jnp.abs(a - b).max() / jnp.maximum(jnp.abs(b).max(),
                                                        1e-8))
         assert rel < 1e-5, rel
+
+
+def test_pallas_lstm_final_cell_state_gradient():
+    """The returned final cell state must be correct AND differentiable
+    (its cotangent seeds the BPTT dc carry)."""
+    rs = np.random.RandomState(2)
+    gx = jnp.asarray(rs.randn(12, 8, 64) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
+
+    def scan_c_last(g, ww):
+        T, B, G = g.shape
+        H = G // 4
+        w_t = ww.T
+
+        def step(carry, gx_t):
+            h, c = carry
+            gates = gx_t + h @ w_t
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            gg = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * gg
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        (h, c), _ = jax.lax.scan(step, (jnp.zeros((B, H)),
+                                        jnp.zeros((B, H))), g)
+        return c
+
+    c_p = lstm_layer(gx, w, True)[1]
+    c_s = scan_c_last(gx, w)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s),
+                               rtol=1e-5, atol=1e-6)
+    gp = jax.grad(lambda g: jnp.sum(lstm_layer(g, w, True)[1] ** 2))(gx)
+    gs = jax.grad(lambda g: jnp.sum(scan_c_last(g, w) ** 2))(gx)
+    rel = float(jnp.abs(gp - gs).max() / jnp.maximum(jnp.abs(gs).max(), 1e-8))
+    assert rel < 1e-5, rel

@@ -41,3 +41,40 @@ def test_bf16_step_close_to_f32():
         assert leaf.dtype == jnp.float32
     for leaf in jax.tree_util.tree_leaves(states16):
         assert leaf.dtype == jnp.float32
+
+
+def test_amp_preserves_length_vectors():
+    """Relative-length vectors must never be cast to bf16 (round(rel*T)
+    recovers absolute lengths; bf16 corrupts them by 1-2 frames)."""
+    from mlvae_tpu.training.brain import _cast_floats
+    lens = jnp.asarray([511.0 / 512.0, 509.0 / 512.0])
+    batch = {"feat": (jnp.zeros((2, 512, 4)), lens)}
+    cast = _cast_floats(batch, jnp.bfloat16, min_ndim=2)
+    assert cast["feat"][0].dtype == jnp.bfloat16
+    assert cast["feat"][1].dtype == jnp.float32
+    assert int(round(float(cast["feat"][1][0]) * 512)) == 511
+
+
+def test_nonfinite_grads_do_not_poison_params():
+    """A NaN loss step must leave params finite (zero-grad skip, not g*0)."""
+    from mlvae_tpu.bench_utils import build_md_vae, synth_batch
+    from mlvae_tpu.models.MD_VAE.model import Target
+    from mlvae_tpu.training.brain import Stage
+
+    model = build_md_vae(batch_size=8)
+    model.target = Target.VAE
+    model.init_params()
+    batch = synth_batch(batch_size=8, T=48, L=6)
+    # poison the features with NaN -> loss and grads become non-finite
+    feats, lens = batch["feat"]
+    batch["feat"] = (feats.at[0, 0, 0].set(jnp.nan), lens)
+    model.ensure_states(120)
+    model.init_optimizers()
+    step = model._get_compiled("train", Stage.TRAIN)
+    params, _, _, loss, _ = step(
+        model.params, model.opt_states, model.states,
+        jax.random.PRNGKey(0), batch, jnp.asarray(3, jnp.int32),
+    )
+    assert not np.isfinite(float(loss))  # the loss itself is bad...
+    for leaf in jax.tree_util.tree_leaves(params):  # ...but params survive
+        assert np.isfinite(np.asarray(leaf)).all()

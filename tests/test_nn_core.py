@@ -73,3 +73,24 @@ def test_lstm_dropout_train_changes_output_eval_deterministic():
     np.testing.assert_array_equal(np.asarray(out_eval1), np.asarray(out_eval2))
     out_tr, _ = lstm.apply(params, x, rng=jax.random.PRNGKey(1), train=True)
     assert not np.allclose(np.asarray(out_tr), np.asarray(out_eval1))
+
+
+def test_lstm_hn_cn_match_torch():
+    """h_n AND c_n (real cell state) match torch for uni/bi layers."""
+    B, T, C, H = 3, 9, 6, 8
+    for bidirectional in (False, True):
+        lstm = LSTM(C, H, num_layers=2, batch_first=True,
+                    bidirectional=bidirectional)
+        params = lstm.init(jax.random.PRNGKey(5))
+        x = np.random.RandomState(6).randn(B, T, C).astype(np.float32)
+        _, (h_n, c_n) = lstm.apply(params, jnp.asarray(x))
+        tl = torch.nn.LSTM(C, H, num_layers=2, batch_first=True,
+                           bidirectional=bidirectional)
+        tl.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                            for k, v in params.items()})
+        with torch.no_grad():
+            _, (th, tc) = tl(torch.from_numpy(x))
+        np.testing.assert_allclose(np.asarray(h_n), th.numpy(),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(c_n), tc.numpy(),
+                                   rtol=2e-4, atol=2e-5)

@@ -38,11 +38,12 @@ def test_resume_from_checkpoint(tmp_path, monkeypatch):
 
     # "new process": a fresh model instance; fit with a higher epoch limit
     model2 = train_cli.main(_args(4))
-    # resumed: epochs 3 and 4 ran on top of the restored state, so the
-    # normalizer count kept growing from the restored value (not from zero)
+    # resumed: epochs 3 and 4 ran on top of the restored state. Stats freeze
+    # from epoch 3 (update_until_epoch), so the count must EQUAL the restored
+    # value — a fresh (non-restored) run of epochs 3-4 would leave it at 0.
     assert model2.hparams["epoch_counter"].current == 4
     count_after_4 = float(model2.states["normalizer"]["count"])
-    assert count_after_4 > count_after_2
+    assert count_after_4 == count_after_2 > 0
     # parameters moved on from (not equal to) the 2-epoch state
     params_after_4 = np.asarray(model2.params["encoder"]["mean_fc"]["weight"])
     assert not np.allclose(params_after_4, params_after_2)
