@@ -32,7 +32,7 @@ def _sigmoid(x):
 
 def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref, gates_ref,
                 h_scr, c_scr, *, H: int):
-    t = pl.program_id(0)
+    t = pl.program_id(1)  # time is the INNER grid dim; batch blocks outer
 
     @pl.when(t == 0)
     def _():
@@ -59,14 +59,18 @@ def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref, gates_ref,
 def _bwd_kernel(gates_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
                 dc_last_ref, whh_ref, dgx_ref, dwhh_ref, dh_scr, dc_scr,
                 *, H: int, T: int):
-    r = pl.program_id(0)  # 0 .. T-1, walking time BACKWARD via index maps
+    b = pl.program_id(0)
+    r = pl.program_id(1)  # 0 .. T-1, walking time BACKWARD via index maps
 
     @pl.when(r == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = dc_last_ref[:]  # cotangent of the returned final c
+
+    @pl.when((r == 0) & (b == 0))
+    def _():
         # dW_hh accumulates directly in the (constant-indexed, VMEM-resident)
-        # output block — no separate scratch
+        # output block across ALL batch blocks — zero once at the start
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
 
     gates = gates_ref[0]
@@ -101,25 +105,45 @@ def _bwd_kernel(gates_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     )
 
 
+MAX_B_BLOCK = 64  # VMEM budget per batch block (v5e: 128 fits only when the
+                  # grid has a single batch block; block transitions add a
+                  # pipeline buffer that tips 16 MB)
+
+
+def _b_block(B: int) -> int:
+    if B <= 128:  # single-block grid: no transition buffer, fastest
+        return B
+    blk = MAX_B_BLOCK
+    while B % blk:
+        blk //= 2
+    return max(blk, 8)
+
+
 def _run_fwd(gates_x, w_hh, interpret: bool):
-    """gates_x: (T, B, 4H); w_hh: (4H, H) torch layout."""
+    """gates_x: (T, B, 4H); w_hh: (4H, H) torch layout.
+
+    Grid = (batch blocks, T): time is the sequential inner dimension so the
+    h/c scratch carries persist within each batch block; batch blocking keeps
+    VMEM bounded for any B."""
     T, B, G = gates_x.shape
     H = G // 4
+    BB = _b_block(B)
     whh_t = w_hh.T  # (H, 4H)
     hs, cs, gates = pl.pallas_call(
         functools.partial(_fwd_kernel, H=H),
-        grid=(T,),
+        grid=(B // BB, T),
         in_specs=[
-            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BB, G), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, G), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BB, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BB, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BB, G), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -128,8 +152,8 @@ def _run_fwd(gates_x, w_hh, interpret: bool):
             jax.ShapeDtypeStruct((T, B, G), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
         ],
         interpret=interpret,
     )(gates_x, whh_t)
@@ -159,24 +183,25 @@ def _vjp_bwd(interpret, residuals, cotangents):
     cs_prev = jnp.concatenate([zero_h, cs[:-1]], axis=0)
     hs_prev = jnp.concatenate([zero_h, hs[:-1]], axis=0)
 
-    rev = lambda r: (T - 1 - r, 0, 0)  # walk time backward
+    BB = _b_block(B)
+    rev = lambda b, r: (T - 1 - r, b, 0)  # walk time backward per batch block
     dgx, dwhh = pl.pallas_call(
         functools.partial(_bwd_kernel, H=H, T=T),
-        grid=(T,),
+        grid=(B // BB, T),
         in_specs=[
-            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),  # gates
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # c_prev
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # c_t
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # h_prev
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),  # dhs
-            pl.BlockSpec((B, H), lambda r: (0, 0),
-                         memory_space=pltpu.VMEM),                  # dc_last
-            pl.BlockSpec((G, H), lambda r: (0, 0),
-                         memory_space=pltpu.VMEM),                  # w_hh
+            pl.BlockSpec((1, BB, G), rev, memory_space=pltpu.VMEM),  # gates
+            pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # h_prev
+            pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # dhs
+            pl.BlockSpec((BB, H), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),                   # dc_last
+            pl.BlockSpec((G, H), lambda b, r: (0, 0),
+                         memory_space=pltpu.VMEM),                   # w_hh
         ],
         out_specs=[
-            pl.BlockSpec((1, B, G), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, G), lambda r: (0, 0),
+            pl.BlockSpec((1, BB, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -184,8 +209,8 @@ def _vjp_bwd(interpret, residuals, cotangents):
             jax.ShapeDtypeStruct((H, G), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
         ],
         interpret=interpret,
     )(gates, cs_prev, cs, hs_prev, dhs, dc_last, w_hh)
