@@ -16,14 +16,17 @@ class LossMetricStats:
         self.loss_list = []
 
     def append(self, loss):
-        self.loss_list.append(float(np.asarray(loss)))
+        # keep device scalars as-is: converting here would force a host
+        # sync per batch; summarize() converts once per stage
+        self.loss_list.append(loss)
 
     def summarize(self, field: Optional[str] = None):
         if field is not None:
             raise ValueError("field must be None")
         if not self.loss_list:
             raise ValueError(f"no values appended for {self.name}")
-        return {"loss": float(np.mean(self.loss_list))}
+        return {"loss": float(np.mean([float(np.asarray(l))
+                                       for l in self.loss_list]))}
 
     def write_stats(self, f):
         f.write(f"{self.name}: {self.summarize()}\n")

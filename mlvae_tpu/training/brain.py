@@ -374,7 +374,9 @@ class Brain:
         )
         self.step += 1
         self._record_losses(losses)
-        return float(loss)
+        # return the DEVICE scalar: converting here would block on a host
+        # round trip every batch (the fit loop averages once per epoch)
+        return loss
 
     def evaluate_batch(self, batch: PaddedBatch, stage: Stage) -> float:
         batch = self.prepare_batch(batch)
@@ -423,6 +425,7 @@ class Brain:
         for epoch in epoch_counter:
             self.training = True
             self.on_stage_start(Stage.TRAIN, epoch)
+            self.step_timer.reset()
             t0 = time.time()
             losses = []
             trace_dir = None
@@ -438,12 +441,19 @@ class Brain:
                     self.step_timer.stop(frames)
                     if self.debug and i + 1 >= self.debug_batches:
                         break
-            self.avg_train_loss = float(np.mean(losses)) if losses else 0.0
-            summary = self.step_timer.summarize()
+            self.avg_train_loss = float(np.mean(
+                [float(np.asarray(l)) for l in losses]
+            )) if losses else 0.0
+            # the loss conversion above is the epoch's device sync point, so
+            # wall-clock throughput is computed from the epoch duration (the
+            # per-step timer sees only async dispatch now)
+            wall = time.time() - t0
+            total_audio = float(np.sum(self.step_timer.utt_seconds)) \
+                if self.step_timer.utt_seconds else 0.0
             logger.info(
                 "epoch %d train: %.4f (%.1fs, %.0f utt-sec/sec)", epoch,
-                self.avg_train_loss, time.time() - t0,
-                summary.get("utt_sec_per_sec", 0.0),
+                self.avg_train_loss, wall,
+                total_audio / max(wall, 1e-9),
             )
             self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
 
