@@ -37,8 +37,11 @@ class PaddedBatch:
             lens = np.asarray([v.shape[0] for v in vals], np.int64)
             if key == "prior":  # class-dim vector; never pad
                 bucket = 1
-            elif key.endswith(("feat", "wav")) or "flvl" in key \
-                    or "boundary" in key:
+            elif key.endswith("wav"):
+                # sample-rate axis: coarse 0.5 s buckets, or jit re-traces
+                # on nearly every batch
+                bucket = 8000
+            elif key.endswith("feat") or "flvl" in key or "boundary" in key:
                 bucket = time_bucket
             else:
                 bucket = seq_bucket

@@ -30,6 +30,10 @@ logger = logging.getLogger(__name__)
 
 
 class SBModel(MDModel):
+    USED_BATCH_KEYS = {
+        "feat", "gt_cnncl_seq", "gt_phn_end_seq", "prev_alignments",
+    }
+
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)
         self.training_type = self.hparams["init_training_type"]

@@ -28,6 +28,10 @@ def _weighted_bce_with_logits(logits, targets, pos_weight):
 
 
 class SBModel(MDModel):
+    USED_BATCH_KEYS = {
+        "feat", "aug_feat", "flvl_gt_md_lbl_seq", "aug_flvl_gt_md_lbl_seq",
+    }
+
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)
         self.stats_loggers["flvl_md_stats"] = MDMetricStats()

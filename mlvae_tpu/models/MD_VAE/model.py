@@ -52,6 +52,10 @@ class Target(Enum):
 
 
 class SBModel(MDModel):
+    USED_BATCH_KEYS = {
+        "feat", "kaldi_feat", "gt_cnncl_seq", "fa_boundary_seq",
+        "gt_boundary_seq", "plvl_gt_md_lbl_seq", "prior",
+    }
     # Subclass knobs: joint variants disable the inactive-branch
     # stop-gradient (MD_VAE_joint) or save MD results on VALID too; w2v
     # variants rename the recognizer-output FC module.

@@ -37,6 +37,9 @@ def _load_saved_outputs(path):
 
 
 class SBModel(MD_VAE_sfl):
+    USED_BATCH_KEYS = (MD_VAE_sfl.USED_BATCH_KEYS
+                       | {"saved_phn_recog_out"})
+
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)
         # 2-way cycle replaces MD_VAE's 3-way cycle

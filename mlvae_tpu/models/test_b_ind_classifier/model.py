@@ -14,6 +14,8 @@ from mlvae_tpu.utils.tensor import apply_lens_to_loss, undo_padding
 
 
 class SBModel(MDModel):
+    USED_BATCH_KEYS = {"feat", "fa_boundary_seq", "gt_boundary_seq"}
+
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)
         self.stats_loggers["boundary_stats"] = BoundaryMetricStats()

@@ -12,6 +12,8 @@ from mlvae_tpu.utils.tensor import apply_lens_to_loss, apply_weight
 
 
 class SBModel(MDModel):
+    USED_BATCH_KEYS = {"feat"}
+
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)
         self.stats_loggers.setdefault("kld_loss_stats",

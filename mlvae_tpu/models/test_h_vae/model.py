@@ -14,6 +14,8 @@ from mlvae_tpu.utils.tensor import apply_lens_to_loss
 
 
 class SBModel(MDModel):
+    USED_BATCH_KEYS = {"feat"}
+
     def compute_forward(self, params, states, batch, stage, rng, epoch):
         feats, feat_lens = batch["feat"]
         train = stage == Stage.TRAIN

@@ -10,6 +10,8 @@ from mlvae_tpu.training.brain import Stage
 
 
 class SBModel(W2VMixin, CRDNN_CTC):
+    USED_BATCH_KEYS = CRDNN_CTC.USED_BATCH_KEYS | {"wav"}
+
     def compute_forward(self, params, states, batch, stage, rng, epoch):
         train = stage == Stage.TRAIN
         stream = RngStream(rng)

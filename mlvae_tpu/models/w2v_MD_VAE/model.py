@@ -13,6 +13,7 @@ from mlvae_tpu.models.w2v_common import W2VMixin
 
 
 class SBModel(W2VMixin, MD_VAE):
+    USED_BATCH_KEYS = MD_VAE.USED_BATCH_KEYS | {"wav"}
     PHN_FC_NAME = "phn_recog_out_fc"
 
     def _branch_inputs(self, params, feats, batch, stream, train):

@@ -280,11 +280,20 @@ class Brain:
     # ------------------------------------------------------------------
     # batch conversion
     # ------------------------------------------------------------------
+    # Recipes list the batch keys their step consumes.  Unfiltered batches
+    # put every dataset key — including raw waveforms whose padded lengths
+    # vary per batch — into the jit signature, forcing a recompile on almost
+    # every batch (observed: 150+ s "epochs" that are 99% XLA compiles).
+    USED_BATCH_KEYS: Optional[set] = None
+
     def to_device_batch(self, batch: PaddedBatch) -> Dict[str, Tuple]:
         out = {}
         pad_to = self.mesh.size if self.mesh is not None else 1
         for key in batch.keys():
             if key == "id":
+                continue
+            if self.USED_BATCH_KEYS is not None \
+                    and key not in self.USED_BATCH_KEYS:
                 continue
             arr, lens = batch[key]
             if arr.dtype == np.float64:
