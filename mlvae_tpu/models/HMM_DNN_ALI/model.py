@@ -37,6 +37,11 @@ class SBModel(MDModel):
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)
         self.training_type = self.hparams["init_training_type"]
+        if self.training_type == "viterbi":
+            # prev_alignments injected per batch change as the aligner store
+            # refreshes; device-batch caching would freeze them
+            self.cache_device_batches = False
+            self._dev_batch_cache.clear()
         self.stats_loggers["accuracy_stats"] = MetricStats(
             metric=self.hparams["aligner"].calc_accuracy
         )

@@ -53,9 +53,15 @@ class Target(Enum):
 
 class SBModel(MDModel):
     USED_BATCH_KEYS = {
-        "feat", "kaldi_feat", "gt_cnncl_seq", "fa_boundary_seq",
+        "feat", "gt_cnncl_seq", "fa_boundary_seq",
         "gt_boundary_seq", "plvl_gt_md_lbl_seq", "prior",
     }
+
+    def used_batch_keys(self):
+        keys = set(self.USED_BATCH_KEYS)
+        if self.hparams.get("use_kaldi_feat", False):
+            keys.add("kaldi_feat")  # the SFL input path (model.yaml:7)
+        return keys
     # Subclass knobs: joint variants disable the inactive-branch
     # stop-gradient (MD_VAE_joint) or save MD results on VALID too; w2v
     # variants rename the recognizer-output FC module.

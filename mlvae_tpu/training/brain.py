@@ -119,6 +119,17 @@ class Brain:
         self.avg_train_loss = 0.0
         self.stats_loggers: Dict[str, Any] = {}
         self._compiled: Dict[Any, Callable] = {}
+        # device-side batch cache: batch composition repeats every epoch
+        # (duration-sorted loaders), so host->device transfer is paid once.
+        # Capped; keyed by utterance ids + the consumed key set.
+        self.cache_device_batches = bool(
+            self.run_opts.get("cache_device_batches", True)
+        )
+        self._dev_batch_cache: Dict[Any, Dict] = {}
+        self._dev_batch_cache_bytes = 0
+        self.device_batch_cache_limit = int(
+            self.run_opts.get("device_batch_cache_mb", 2048)
+        ) * 1024 * 1024
 
     # ------------------------------------------------------------------
     # recipe contract (pure functions)
@@ -286,14 +297,19 @@ class Brain:
     # every batch (observed: 150+ s "epochs" that are 99% XLA compiles).
     USED_BATCH_KEYS: Optional[set] = None
 
+    def used_batch_keys(self) -> Optional[set]:
+        """Keys the jitted step consumes; None = all.  Recipes may override
+        to make the set config-dependent."""
+        return self.USED_BATCH_KEYS
+
     def to_device_batch(self, batch: PaddedBatch) -> Dict[str, Tuple]:
         out = {}
+        used = self.used_batch_keys()
         pad_to = self.mesh.size if self.mesh is not None else 1
         for key in batch.keys():
             if key == "id":
                 continue
-            if self.USED_BATCH_KEYS is not None \
-                    and key not in self.USED_BATCH_KEYS:
+            if used is not None and key not in used:
                 continue
             arr, lens = batch[key]
             if arr.dtype == np.float64:
@@ -310,6 +326,26 @@ class Brain:
             from mlvae_tpu.parallel.mesh import shard_batch
             out = shard_batch(self.mesh, out)
         return out
+
+    def _cached_device_batch(self, batch: PaddedBatch):
+        if not self.cache_device_batches:
+            return self.to_device_batch(batch)
+        used = self.used_batch_keys()
+        key = (tuple(batch.ids),
+               tuple(sorted(used)) if used is not None else None)
+        hit = self._dev_batch_cache.get(key)
+        if hit is not None:
+            return hit
+        dev = self.to_device_batch(batch)
+        nbytes = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a, _ in dev.values()
+        )
+        if self._dev_batch_cache_bytes + nbytes \
+                <= self.device_batch_cache_limit:
+            self._dev_batch_cache[key] = dev
+            self._dev_batch_cache_bytes += nbytes
+        return dev
 
     # ------------------------------------------------------------------
     # fit / evaluate loops
@@ -369,7 +405,7 @@ class Brain:
 
     def fit_batch(self, batch: PaddedBatch) -> float:
         batch = self.prepare_batch(batch)
-        dev_batch = self.to_device_batch(batch)
+        dev_batch = self._cached_device_batch(batch)
         feats = dev_batch.get("feat", dev_batch.get("kaldi_feat"))
         if feats is not None:
             self.ensure_states(int(feats[0].shape[-1]))
@@ -389,7 +425,7 @@ class Brain:
 
     def evaluate_batch(self, batch: PaddedBatch, stage: Stage) -> float:
         batch = self.prepare_batch(batch)
-        dev_batch = self.to_device_batch(batch)
+        dev_batch = self._cached_device_batch(batch)
         feats = dev_batch.get("feat", dev_batch.get("kaldi_feat"))
         if feats is not None:
             self.ensure_states(int(feats[0].shape[-1]))
