@@ -33,8 +33,18 @@ def _unflatten_like(template, flat: Dict[str, np.ndarray]):
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for path, leaf in leaves_with_path:
-        arr = flat[jax.tree_util.keystr(path)]
-        new_leaves.append(arr.astype(np.asarray(leaf).dtype))
+        key = jax.tree_util.keystr(path)
+        arr = flat[key]
+        cur = np.asarray(leaf)
+        if arr.shape != cur.shape:
+            raise ValueError(
+                f"checkpoint/model shape mismatch at {key}: saved "
+                f"{arr.shape}, current model expects {cur.shape} — the "
+                "model architecture changed since this checkpoint was "
+                "written (e.g. a pretrained snapshot now overrides the "
+                "configured sizes); delete the stale checkpoints or match "
+                "the original configuration")
+        new_leaves.append(arr.astype(cur.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 

@@ -21,6 +21,10 @@ def workdir(tmp_path_factory):
 
 def _args(recipe, n_epochs=1, extra_model=""):
     model_yaml = REPO / f"mlvae_tpu/models/{recipe}/model.yaml"
+    if recipe.startswith("w2v"):
+        # shrink the (default wav2vec2-large) encoder for CPU smoke runs;
+        # wav2vec2_size flows into both the encoder and the FC projections
+        extra_model += ", wav2vec2_size: 64"
     overrides = "{model: {n_epochs: %d%s}}" % (n_epochs, extra_model)
     return [
         str(REPO / "config/run.yaml"),
@@ -39,7 +43,7 @@ def test_w2v_encoder_frame_rate():
     import jax
     from mlvae_tpu.modules.wav2vec2 import Wav2Vec2Encoder, conv_output_length
 
-    enc = Wav2Vec2Encoder(source="", output_size=64, context_layers=1)
+    enc = Wav2Vec2Encoder(source="", output_size=64)
     params = enc.init(jax.random.PRNGKey(0))
     import jax.numpy as jnp
     wavs = jnp.zeros((2, 16000))
@@ -55,8 +59,7 @@ def test_w2v_encoder_freeze_blocks_grads():
     import jax.numpy as jnp
     from mlvae_tpu.modules.wav2vec2 import Wav2Vec2Encoder
 
-    enc = Wav2Vec2Encoder(source="", output_size=32, context_layers=1,
-                          freeze=True)
+    enc = Wav2Vec2Encoder(source="", output_size=32, freeze=True)
     params = enc.init(jax.random.PRNGKey(0))
 
     def loss(p):
