@@ -5,8 +5,9 @@ is unused, reference ``prepare_experiment.py:12,55``; SURVEY §2.6).  Here DP
 is first-class and TPU-native: one ``jax.sharding.Mesh`` over all chips, the
 batch sharded along the ``data`` axis, parameters/optimizer state
 replicated, and XLA inserting the gradient ``psum`` over ICI inside the one
-fused train step.  Model sizes (~10-30M params) need no parameter sharding
-(SURVEY §5), so tensor/pipeline parallel axes are intentionally absent.
+fused train step.  The MD models (~10-30M params) need no parameter
+sharding (SURVEY §5); the one exception is the wav2vec2-large trunk, which
+gets tensor parallelism in :mod:`mlvae_tpu.parallel.tp`.
 """
 from __future__ import annotations
 
