@@ -52,3 +52,20 @@ def test_resume_from_checkpoint(tmp_path, monkeypatch):
     # epochs 1-2 from run 1, 3-4 from run 2; epoch 1/2 not re-run in run 2
     assert log.count("stage: train, epoch: 2") == 1
     assert "stage: train, epoch: 3" in log
+
+
+def test_checkpoint_shape_mismatch_names_parameter(tmp_path):
+    """Restoring into a model whose architecture changed must fail with an
+    error naming the mismatched parameter, not an XLA shape error deep in
+    jit (regression: pretrained wav2vec2 snapshot appearing mid-experiment
+    changed layer shapes under a saved checkpoint)."""
+    import numpy as np
+    from mlvae_tpu.training.checkpointer import Checkpointer
+
+    saved = {"enc": {"w": np.zeros((4, 8), np.float32)}}
+    ckpt = Checkpointer(tmp_path)
+    c = ckpt.save_checkpoint({"model": saved}, meta={"epoch": 1})
+
+    grown = {"enc": {"w": np.zeros((4, 16), np.float32)}}
+    with pytest.raises(ValueError, match=r"shape mismatch.*\['enc'\]\['w'\]"):
+        ckpt.load_checkpoint(c, templates={"model": grown})
