@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import logging
 import pickle
+import time
 from pathlib import Path
 from typing import Dict, List, Tuple
 
@@ -149,8 +150,11 @@ def data_io_prep(hparams):
     # preloaded Kaldi-equivalent features (reference preloads ark contents,
     # data_io.py:171-176)
     kaldi_feats: Dict[str, np.ndarray] = {}
+    t0 = time.time()
     for set_name in SET_NAMES:
         kaldi_feats.update(compute_kaldi_features(hparams, set_name))
+    logger.info("kaldi feature pass: %d utts in %.1fs",
+                len(kaldi_feats), time.time() - t0)
 
     sr = hparams["sample_rate"]
     compute_features = hparams["compute_features"]
@@ -160,25 +164,66 @@ def data_io_prep(hparams):
         yield kaldi_feats[utt_id]
         yield kaldi_feats[utt_id]
 
-    def audio_pipeline(wav_path, kaldi_feat):
-        wav, file_sr = read_wav(wav_path)
-        if file_sr != sr:
-            wav = resample(wav, file_sr, sr)
-        yield wav
-        feat = np.asarray(compute_features(wav[None]))[0]
-        if feat.shape[0] != kaldi_feat.shape[0]:
-            assert feat.shape[0] - kaldi_feat.shape[0] == 1
-            feat = feat[: kaldi_feat.shape[0]]
-        yield feat
-        aug_wav = wav if augmentation is None else np.asarray(
-            augmentation(wav[None])
-        )[0]
-        yield aug_wav
-        aug_feat = np.asarray(compute_features(aug_wav[None]))[0]
-        if aug_feat.shape[0] != kaldi_feat.shape[0]:
-            assert aug_feat.shape[0] - kaldi_feat.shape[0] == 1
-            aug_feat = aug_feat[: kaldi_feat.shape[0]]
-        yield aug_feat
+    def _trim_to_kaldi(feat, utt_id):
+        n = kaldi_feats[utt_id].shape[0]
+        assert 0 <= feat.shape[0] - n <= 1, (feat.shape, n, utt_id)
+        return feat[:n]
+
+    def _batched_sb_features(wavs):
+        """One device call per 64-utterance chunk instead of one per
+        utterance: per-utt calls cost ~2 host fetches x ~30 ms tunnel RTT
+        each and a jit entry, which dominated dataset prep at corpus scale.
+        Chunks are length-sorted to minimise padding; rows are
+        length-masked inside the kernel, so results match per-utt calls."""
+        out = {}
+        order = sorted(wavs, key=lambda u: len(wavs[u]))
+        chunk_size = 256  # per-call dispatch overhead dominates below this
+        # fixed row count + host-side length bucketing => a handful of
+        # compiled shapes total instead of one per chunk
+        bucket = int(getattr(compute_features, "bucket", sr // 2))
+        for i in range(0, len(order), chunk_size):
+            chunk = order[i:i + chunk_size]
+            lmax = max(len(wavs[u]) for u in chunk)
+            lpad = ((max(lmax, bucket) + bucket - 1) // bucket) * bucket
+            arr = np.zeros((chunk_size, lpad), np.float32)
+            lens = np.ones((chunk_size,), np.int32)  # pad rows: 1 sample
+            for j, u in enumerate(chunk):
+                arr[j, : len(wavs[u])] = wavs[u]
+                lens[j] = len(wavs[u])
+            feats = np.asarray(compute_features(arr, lens))
+            for j, u in enumerate(chunk):
+                n = int(lens[j]) // compute_features.hop + 1
+                out[u] = _trim_to_kaldi(
+                    np.ascontiguousarray(feats[j, :n]), u)
+        return out
+
+    wav_store: Dict[str, np.ndarray] = {}
+    aug_wav_store: Dict[str, np.ndarray] = {}
+    sb_feats: Dict[str, np.ndarray] = {}
+    aug_sb_feats: Dict[str, np.ndarray] = {}
+    t0 = time.time()
+    for ds in datasets:
+        wavs = {}
+        for utt_id in ds.ids:
+            wav, file_sr = read_wav(ds.data[utt_id]["wav_path"])
+            if file_sr != sr:
+                wav = resample(wav, file_sr, sr)
+            wavs[utt_id] = wav
+        wav_store.update(wavs)
+        sb_feats.update(_batched_sb_features(wavs))
+        if augmentation is not None:
+            aug = {u: np.asarray(augmentation(w[None]))[0]
+                   for u, w in wavs.items()}
+            aug_wav_store.update(aug)
+            aug_sb_feats.update(_batched_sb_features(aug))
+    logger.info("SB feature pass (batched): %d utts in %.1fs",
+                len(sb_feats), time.time() - t0)
+
+    def audio_pipeline(utt_id):
+        yield wav_store[utt_id]
+        yield sb_feats[utt_id]
+        yield aug_wav_store.get(utt_id, wav_store[utt_id])
+        yield aug_sb_feats.get(utt_id, sb_feats[utt_id])
 
     def flvl_pipeline_for(txt_key):
         def fn(feat, aug_feat, duration, seg_seq, txt_seq):
@@ -211,7 +256,7 @@ def data_io_prep(hparams):
     for ds in datasets:
         ds.add_dynamic_item(kaldi_feat_pipeline, ["id"],
                             ["kaldi_feat", "aug_kaldi_feat"])
-        ds.add_dynamic_item(audio_pipeline, ["wav_path", "kaldi_feat"],
+        ds.add_dynamic_item(audio_pipeline, ["id"],
                             ["wav", "feat", "aug_wav", "aug_feat"])
         ds.add_dynamic_item(
             flvl_pipeline_for("txt_gt_phn_seq"),
@@ -266,6 +311,7 @@ def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
         datasets = data_io_prep(hparams)
         computed_dir.mkdir(parents=True, exist_ok=True)
         for set_name, ds in zip(SET_NAMES, datasets):
+            t0 = time.time()
             computed = {}
             for utt_id in ds.ids:
                 sample = ds.compute_sample(utt_id)
@@ -273,6 +319,8 @@ def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
                                     if k != "id"}
             with open(computed_dir / f"{set_name}.pkl", "wb") as f:
                 pickle.dump(computed, f)
+            logger.info("materialized %s: %d utts in %.1fs",
+                        set_name, len(computed), time.time() - t0)
 
     computed_datasets = []
     for set_name in SET_NAMES:

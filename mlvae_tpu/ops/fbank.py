@@ -265,7 +265,9 @@ class Fbank:
             sr=self.sample_rate, hop=self.hop, n_fft=self.n_fft,
             n_mels=self.n_mels, max_frames=max_frames, deltas=self.deltas,
         )
-        true_frames = int(jnp.max(n_frames))
+        # frame count from host-side lengths — never a device fetch
+        # (each fetch costs ~30 ms tunnel RTT on this setup)
+        true_frames = int(np.max(np.asarray(lengths))) // self.hop + 1
         return feats[:, :true_frames]
 
 
@@ -302,5 +304,6 @@ class KaldiFbank:
         )
         if self.deltas:
             feats = deltas_batch(feats, n_frames)
-        true_frames = int(jnp.max(n_frames))
+        true_frames = int(kaldi_frame_counts(
+            int(np.max(np.asarray(lengths))), self.shift))
         return feats[:, :true_frames]
