@@ -14,6 +14,8 @@ the SpeechBrain convention downstream code expects:
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from typing import Any, Dict, Iterator, List, Sequence
 
 import numpy as np
@@ -108,3 +110,44 @@ class DataLoader:
             samples = [self.dataset[i]
                        for i in range(s, min(s + self.batch_size, n))]
             yield PaddedBatch(samples, self.time_bucket, self.seq_bucket)
+
+
+def prefetch(iterable, depth: int = 2) -> Iterator:
+    """Iterate ``iterable`` with a background producer thread (bounded
+    queue), overlapping host batch assembly (wav padding, numpy stacking)
+    with device execution — the async host loader of SURVEY §7 step 3.
+    Order is preserved; producer exceptions re-raise at the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    _END, _ERR = object(), object()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            for item in iterable:
+                if not put(item):
+                    return
+            put(_END)
+        except BaseException as e:  # noqa: BLE001 - re-raised at consumer
+            put((_ERR, e))
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()

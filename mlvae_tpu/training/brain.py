@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mlvae_tpu.data.batch import DataLoader, PaddedBatch
+from mlvae_tpu.data.batch import DataLoader, PaddedBatch, prefetch
 from mlvae_tpu.nn.norm import InputNormalization
 from mlvae_tpu.utils import seed as seed_util
 
@@ -477,7 +477,7 @@ class Brain:
             if profile and epoch == 1 and "output_dir" in self.hparams:
                 trace_dir = str(Path(self.hparams["output_dir"]) / "profile")
             with trace(trace_dir or ".", enabled=trace_dir is not None):
-                for i, batch in enumerate(train_loader):
+                for i, batch in enumerate(prefetch(train_loader)):
                     self.step_timer.start()
                     losses.append(self.fit_batch(batch))
                     feats, lens = batch["feat"]
@@ -506,7 +506,7 @@ class Brain:
                 self.training = False
                 self.on_stage_start(Stage.VALID, epoch)
                 vlosses = []
-                for i, batch in enumerate(valid_loader):
+                for i, batch in enumerate(prefetch(valid_loader)):
                     vlosses.append(self.evaluate_batch(batch, Stage.VALID))
                     if self.debug and i + 1 >= self.debug_batches:
                         break
@@ -526,7 +526,7 @@ class Brain:
             test_set, Stage.TEST, **(test_loader_kwargs or {})
         )
         losses = []
-        for i, batch in enumerate(loader):
+        for i, batch in enumerate(prefetch(loader)):
             losses.append(self.evaluate_batch(batch, Stage.TEST))
             if self.debug and i + 1 >= self.debug_batches:
                 break

@@ -177,3 +177,24 @@ def test_prepare_datasets_end_to_end(syn_hparams):
     assert len(batch["id"]) == 2
     prior_b, _ = batch["prior"]
     np.testing.assert_allclose(prior_b[0], prior, rtol=1e-6)
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    from mlvae_tpu.data.batch import prefetch
+
+    assert list(prefetch(range(100), depth=3)) == list(range(100))
+
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch(gen())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+    # early consumer exit must not deadlock the producer
+    for x in prefetch(iter(range(1000)), depth=1):
+        if x == 3:
+            break
