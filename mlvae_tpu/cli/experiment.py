@@ -31,7 +31,7 @@ def prepare_experiment(args: List[str], prepare_exp_dir: bool = True) -> Dict:
         hparams = load_hyperyaml(fin, [extra_overrides, overrides])
     # the extra_overrides channel is re-merged after load so nested recipe
     # values win over YAML-resolved ones (reference prepare_experiment.py:25)
-    recursive_update(hparams, extra_overrides)
+    recursive_update(hparams, extra_overrides, keep_objects=True)
 
     if prepare_exp_dir and "output_dir" in hparams:
         out_dir = Path(hparams["output_dir"])

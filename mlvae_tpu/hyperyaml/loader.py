@@ -105,7 +105,8 @@ def _parse_tagged(stream) -> Any:
 # Override merging
 # ---------------------------------------------------------------------------
 
-def recursive_update(d, u, must_match: bool = False):
+def recursive_update(d, u, must_match: bool = False,
+                     keep_objects: bool = False):
     """Nested dict update with HyperPyYAML's tag-override semantics.
 
     Matches reference ``core.py:664-717`` including the local patch for
@@ -114,6 +115,12 @@ def recursive_update(d, u, must_match: bool = False):
     node, keeping its children — which then act as overrides for the included
     file.  Overriding a tagged scalar with a mapping converts it to a tagged
     mapping with the same tag.
+
+    ``keep_objects=True`` is for the post-materialization re-merge of the
+    ``extra_overrides`` channel: a dict override whose target is a
+    *constructed object* (not a mapping) is skipped instead of clobbering
+    the object — those keys already reached the constructor through the
+    pre-materialization merge.
     """
     if u is None:
         return
@@ -128,9 +135,11 @@ def recursive_update(d, u, must_match: bool = False):
             if isinstance(target, TaggedValue):
                 if not isinstance(target.value, dict):
                     target.value = {}
-                recursive_update(target.value, v)
+                recursive_update(target.value, v, keep_objects=keep_objects)
             elif isinstance(target, dict):
-                recursive_update(target, v)
+                recursive_update(target, v, keep_objects=keep_objects)
+            elif keep_objects:
+                continue
             else:
                 d[k] = v
         elif must_match and k not in d:

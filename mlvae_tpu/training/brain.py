@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlvae_tpu.data.batch import DataLoader, PaddedBatch, prefetch
+from mlvae_tpu.training.checkpointer import checkpoint_has
 from mlvae_tpu.nn.norm import InputNormalization
 from mlvae_tpu.utils import seed as seed_util
 
@@ -394,7 +395,7 @@ class Brain:
                 self.params = restored["params"]
                 if "states" in restored:
                     self.states = restored["states"]
-                elif ckpt is not None and (ckpt.path / "states.npz").exists():
+                elif ckpt is not None and checkpoint_has(ckpt, "states"):
                     # states not built yet (lazy feat-dim init): restore them
                     # as soon as ensure_states creates the templates
                     self._pending_states_ckpt = ckpt

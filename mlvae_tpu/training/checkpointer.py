@@ -55,9 +55,26 @@ class Checkpoint:
 
 
 class Checkpointer:
+    """Metric-keyed checkpointing (parity with SpeechBrain's Checkpointer,
+    reference ``md_model.py:151-164``).
+
+    Two storage backends behind the same directory layout (one dir per
+    checkpoint with ``meta.json`` + one blob per recoverable):
+
+    * ``npz`` (default) — flat numpy archives; dependency-free, greppable.
+    * ``orbax`` — ``orbax.checkpoint`` PyTree handlers (the JAX-ecosystem
+      standard; on multi-host TPU pods orbax handles per-host sharded
+      save/restore, which npz cannot).  Select with ``backend='orbax'`` in
+      the YAML or constructor.
+    """
+
     def __init__(self, checkpoints_dir, recoverables: Optional[Dict] = None,
-                 **kwargs):
+                 backend: str = "npz", **kwargs):
         self.checkpoints_dir = Path(checkpoints_dir)
+        if backend not in ("npz", "orbax"):
+            raise ValueError(f"unknown checkpoint backend: {backend!r} "
+                             "(expected 'npz' or 'orbax')")
+        self.backend = backend
         # YAML-declared recoverables (module specs) are kept for parity and
         # introspection; live state pytrees are supplied by the Brain.
         self.recoverables = dict(recoverables or {})
@@ -99,7 +116,12 @@ class Checkpointer:
         path = self.checkpoints_dir / name
         path.mkdir(parents=True, exist_ok=True)
         for rec_name, tree in state.items():
-            np.savez(path / f"{rec_name}.npz", **_flatten(tree))
+            if self.backend == "orbax":
+                import orbax.checkpoint as ocp
+                with ocp.PyTreeCheckpointer() as ckpter:
+                    ckpter.save((path / f"{rec_name}.orbax").resolve(), tree)
+            else:
+                np.savez(path / f"{rec_name}.npz", **_flatten(tree))
         with open(path / "meta.json", "w") as f:
             json.dump(_jsonable(meta), f, indent=2)
         return Checkpoint(path, meta)
@@ -138,12 +160,21 @@ class Checkpointer:
         """Restore state pytrees shaped like ``templates``."""
         out = {}
         for rec_name, template in templates.items():
+            orbax_path = ckpt.path / f"{rec_name}.orbax"
             npz_path = ckpt.path / f"{rec_name}.npz"
-            if not npz_path.exists():
-                continue
-            with np.load(npz_path, allow_pickle=False) as data:
-                flat = {k: data[k] for k in data.files}
-            out[rec_name] = _unflatten_like(template, flat)
+            if orbax_path.exists():
+                import orbax.checkpoint as ocp
+                with ocp.PyTreeCheckpointer() as ckpter:
+                    restored = ckpter.restore(orbax_path.resolve())
+                out[rec_name] = _unflatten_like(
+                    template, {jax.tree_util.keystr(p): np.asarray(v)
+                               for p, v in
+                               jax.tree_util.tree_flatten_with_path(
+                                   restored)[0]})
+            elif npz_path.exists():
+                with np.load(npz_path, allow_pickle=False) as data:
+                    flat = {k: data[k] for k in data.files}
+                out[rec_name] = _unflatten_like(template, flat)
         return out
 
     def recover_if_possible(self, templates: Dict[str, Any],
@@ -165,3 +196,9 @@ def _jsonable(obj):
     if isinstance(obj, np.ndarray):
         return obj.tolist()
     return obj
+
+
+def checkpoint_has(ckpt: Checkpoint, rec_name: str) -> bool:
+    """True if the checkpoint stores ``rec_name`` under either backend."""
+    return ((ckpt.path / f"{rec_name}.npz").exists()
+            or (ckpt.path / f"{rec_name}.orbax").exists())

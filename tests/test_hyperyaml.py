@@ -186,3 +186,20 @@ def test_label_encoder_blank_index():
     enc.update_from_iterable(["x", "y"])
     enc.insert_blank(index=0)
     assert enc.get_blank_index() == 0
+
+
+def test_recursive_update_keep_objects():
+    """The post-materialization extra_overrides re-merge must not clobber
+    constructed objects with raw dicts (regression: checkpointer backend
+    override replaced the Checkpointer instance)."""
+    from mlvae_tpu.hyperyaml.loader import recursive_update
+
+    class Thing:
+        pass
+
+    obj = Thing()
+    h = {"model": {"checkpointer": obj, "n_epochs": 5}}
+    recursive_update(h, {"model": {"checkpointer": {"backend": "orbax"},
+                                   "n_epochs": 2}}, keep_objects=True)
+    assert h["model"]["checkpointer"] is obj   # object preserved
+    assert h["model"]["n_epochs"] == 2         # scalar still overridden

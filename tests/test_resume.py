@@ -69,3 +69,34 @@ def test_checkpoint_shape_mismatch_names_parameter(tmp_path):
     grown = {"enc": {"w": np.zeros((4, 16), np.float32)}}
     with pytest.raises(ValueError, match=r"shape mismatch.*\['enc'\]\['w'\]"):
         ckpt.load_checkpoint(c, templates={"model": grown})
+
+
+def test_orbax_backend_round_trip(tmp_path):
+    """backend='orbax' stores via orbax.checkpoint; restore goes through the
+    same templates/shape-check path as npz (SURVEY §5 'orbax-style
+    checkpointing')."""
+    import numpy as np
+    from mlvae_tpu.training.checkpointer import Checkpointer
+
+    state = {"model": {"enc": {"w": np.arange(12, dtype=np.float32)
+                               .reshape(3, 4),
+                               "b": np.ones((4,), np.float32)},
+                       "step": np.asarray(7, np.int32)}}
+    ckpt = Checkpointer(tmp_path, backend="orbax")
+    c = ckpt.save_checkpoint(state, meta={"epoch": 2, "plvl_md.F1": 33.3})
+    assert (c.path / "model.orbax").exists()
+
+    template = {"model": {"enc": {"w": np.zeros((3, 4), np.float32),
+                                  "b": np.zeros((4,), np.float32)},
+                          "step": np.asarray(0, np.int32)}}
+    restored = ckpt.load_checkpoint(c, templates=template)
+    np.testing.assert_array_equal(restored["model"]["enc"]["w"],
+                                  state["model"]["enc"]["w"])
+    assert int(restored["model"]["step"]) == 7
+
+    # metric-keyed retrieval works identically across backends
+    best = ckpt.find_checkpoint(max_key="plvl_md.F1")
+    assert best is not None and best.meta["epoch"] == 2
+
+    with pytest.raises(ValueError, match="unknown checkpoint backend"):
+        Checkpointer(tmp_path, backend="flatbuffer")
