@@ -23,6 +23,7 @@ RUN_OPT_KEYS = {
     "noprogressbar": bool,
     "data_parallel": bool,
     "num_devices": int,
+    "tensor_parallel": int,
     "profile": bool,
 }
 

@@ -460,3 +460,13 @@ def conv_output_length(n: int,
     for k, s in zip(kernels, strides):
         n = (n - k) // s + 1
     return n
+
+
+# --- tensor parallelism hook (used by Brain placement when a 'model' mesh
+# axis is active; see mlvae_tpu/parallel/tp.py for the split) -------------
+def _partition_specs(self, params):
+    from mlvae_tpu.parallel.tp import wav2vec2_partition_specs
+    return wav2vec2_partition_specs(params)
+
+
+Wav2Vec2Encoder.partition_specs = _partition_specs

@@ -103,10 +103,24 @@ class Brain:
 
         self.rng = jax.random.PRNGKey(seed_util.get_seed())
         self.mesh = None
-        if self.run_opts.get("data_parallel", False):
-            from mlvae_tpu.parallel.mesh import make_mesh
-            self.mesh = make_mesh(self.run_opts.get("num_devices"))
-            logger.info("data-parallel over %d devices", self.mesh.size)
+        tp = int(self.run_opts.get("tensor_parallel", 1) or 1)
+        if self.run_opts.get("data_parallel", False) or tp > 1:
+            n = self.run_opts.get("num_devices") or len(jax.devices())
+            if tp > 1:
+                # 2-D (data, model) mesh: batch over 'data', modules that
+                # declare partition_specs (the wav2vec2 trunk) split over
+                # 'model'; everything else replicated
+                from mlvae_tpu.parallel.tp import make_mesh_2d
+                if n % tp:
+                    raise ValueError(
+                        f"num_devices={n} not divisible by "
+                        f"tensor_parallel={tp}")
+                self.mesh = make_mesh_2d(n // tp, tp)
+                logger.info("mesh: data=%d x model=%d", n // tp, tp)
+            else:
+                from mlvae_tpu.parallel.mesh import make_mesh
+                self.mesh = make_mesh(n)
+                logger.info("data-parallel over %d devices", self.mesh.size)
             # XLA cannot partition the Pallas LSTM custom call across a
             # mesh; fall back to the scan recurrence under DP
             from mlvae_tpu.nn import rnn as _rnn
@@ -306,7 +320,10 @@ class Brain:
     def to_device_batch(self, batch: PaddedBatch) -> Dict[str, Tuple]:
         out = {}
         used = self.used_batch_keys()
-        pad_to = self.mesh.size if self.mesh is not None else 1
+        # batch divides the DATA axis only (a 2-D mesh's model axis
+        # replicates the batch)
+        pad_to = dict(self.mesh.shape).get("data", self.mesh.size) \
+            if self.mesh is not None else 1
         for key in batch.keys():
             if key == "id":
                 continue
@@ -360,13 +377,35 @@ class Brain:
         shuffle = bool(kwargs.pop("shuffle", False)) and stage == Stage.TRAIN
         return DataLoader(dataset, shuffle=shuffle, **kwargs)
 
+    def _place_params(self, params):
+        """Place params on the mesh: replicated by default; modules that
+        declare ``partition_specs`` (the wav2vec2 trunk) are tensor-split
+        over the 'model' axis when one exists."""
+        from jax.sharding import PartitionSpec as P
+        from mlvae_tpu.parallel.tp import shard_tree, validate_tp
+
+        model_axis = dict(self.mesh.shape).get("model", 1)
+        specs = {}
+        for name, sub in params.items():
+            mod = self.modules.get(name)
+            if model_axis > 1 and hasattr(mod, "partition_specs"):
+                err = validate_tp(mod, model_axis)
+                if err:
+                    raise ValueError(f"cannot tensor-split {name!r}: {err}")
+                specs[name] = mod.partition_specs(sub)
+                logger.info("tensor-parallel placement for module %r "
+                            "(model axis %d)", name, model_axis)
+            else:
+                specs[name] = jax.tree_util.tree_map(lambda _: P(), sub)
+        return shard_tree(self.mesh, params, specs)
+
     def on_fit_start(self):
         if self.params is None:
             self.init_params()
         self.init_optimizers()
         if self.mesh is not None:
             from mlvae_tpu.parallel.mesh import replicate
-            self.params = replicate(self.mesh, self.params)
+            self.params = self._place_params(self.params)
             self.opt_states = replicate(self.mesh, self.opt_states)
 
     def on_fit_end(self):

@@ -50,3 +50,31 @@ def test_dryrun_dp_tp_runs():
     import __graft_entry__ as ge
 
     ge._dryrun_dp_tp(n_data=2, n_model=2)
+
+
+def test_w2v_recipe_trains_with_tensor_parallel(tmp_path):
+    """--tensor_parallel 2 on the w2v_LSTM_FC recipe: 2-D (data=4, model=2)
+    mesh, wav2vec2 trunk tensor-split via its partition_specs hook, one
+    training epoch end to end through the CLI."""
+    import os
+    from mlvae_tpu.cli import train as train_cli
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        train_cli.main([
+            f"{repo}/config/run.yaml",
+            "--dataset", "SynAudioMNIST", "--language", "digits",
+            "--n_phonemes", "12", "--model_class", "w2v_LSTM_FC",
+            "--model_name", "tp_smoke",
+            "--model", f"!include:{repo}/mlvae_tpu/models/w2v_LSTM_FC/model.yaml",
+            "--extra_overrides",
+            "{model: {n_epochs: 1, wav2vec2_size: 64}}",
+            "--data_parallel", "--tensor_parallel", "2",
+            "--debug", "--debug_batches", "1",
+        ])
+        log = (tmp_path / "results/tp_smoke/train_log.txt").read_text()
+        assert "loss" in log
+    finally:
+        os.chdir(old)
