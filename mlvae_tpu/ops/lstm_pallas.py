@@ -10,8 +10,11 @@ This kernel runs the WHOLE time loop inside one Mosaic program:
   in VMEM across a sequential grid over T — no per-step dispatch, no
   HBM round trip for the carry;
 * the backward kernel replays the recurrence in reverse (standard BPTT),
-  accumulating dW_hh in VMEM and emitting per-step gate grads from which
-  XLA recovers dX / dW_ih / db with one more big matmul.
+  RECOMPUTING the pre-activations from the saved h trajectory (one extra
+  MXU dot per step — free, the step is HBM-bandwidth-bound) instead of
+  materializing a (T, B, 4H) gates residual, accumulating dW_hh in VMEM
+  and emitting per-step gate grads from which XLA recovers dX / dW_ih /
+  db with one more big matmul.
 
 Exposed as ``lstm_layer(gates_x, w_hh)`` with a custom VJP; the nn.LSTM
 module uses it on TPU and falls back to ``lax.scan`` elsewhere.
@@ -30,7 +33,7 @@ def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
-def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref, gates_ref,
+def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref,
                 h_scr, c_scr, *, H: int):
     t = pl.program_id(1)  # time is the INNER grid dim; batch blocks outer
 
@@ -43,7 +46,6 @@ def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref, gates_ref,
     c = c_scr[:]
     gates = gx_ref[0] + jnp.dot(h, whh_t_ref[:],
                                 preferred_element_type=jnp.float32)
-    gates_ref[0] = gates
     i = _sigmoid(gates[:, 0 * H:1 * H])
     f = _sigmoid(gates[:, 1 * H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -56,8 +58,8 @@ def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref, gates_ref,
     c_scr[:] = c_new
 
 
-def _bwd_kernel(gates_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
-                dc_last_ref, whh_ref, dgx_ref, dwhh_ref, dh_scr, dc_scr,
+def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
+                dc_last_ref, whh_t_ref, dgx_ref, dwhh_ref, dh_scr, dc_scr,
                 *, H: int, T: int):
     b = pl.program_id(0)
     r = pl.program_id(1)  # 0 .. T-1, walking time BACKWARD via index maps
@@ -73,14 +75,20 @@ def _bwd_kernel(gates_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
         # output block across ALL batch blocks — zero once at the start
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
 
-    gates = gates_ref[0]
+    # Recompute the pre-activations instead of reading a saved residual:
+    # the extra (BB,H)x(H,4H) dot is free on the idle MXU, while NOT
+    # writing the (T,B,4H) f32 gates tensor in the forward pass removes
+    # the single largest HBM stream of the training step (the step is
+    # bandwidth-bound: ~29 GB accessed / step at B=128).
+    h_prev = hs_prev_ref[0]
+    gates = gx_ref[0] + jnp.dot(h_prev, whh_t_ref[:],
+                                preferred_element_type=jnp.float32)
     i = _sigmoid(gates[:, 0 * H:1 * H])
     f = _sigmoid(gates[:, 1 * H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
     o = _sigmoid(gates[:, 3 * H:4 * H])
     c_t = cs_ref[0]
     c_prev = cs_prev_ref[0]   # zeros block at t == 0 (see index map)
-    h_prev = hs_prev_ref[0]
 
     dh = dhs_ref[0] + dh_scr[:]
     tanh_c = jnp.tanh(c_t)
@@ -98,8 +106,10 @@ def _bwd_kernel(gates_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
         do * o * (1.0 - o),
     ], axis=1)  # (B, 4H)
     dgx_ref[0] = dgates
-    dh_scr[:] = jnp.dot(dgates, whh_ref[:],
-                        preferred_element_type=jnp.float32)
+    # contract the gate dim of both operands — no transposed weight copy
+    dh_scr[:] = jax.lax.dot_general(
+        dgates, whh_t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dwhh_ref[:] = dwhh_ref[:] + jnp.dot(
         h_prev.T, dgates, preferred_element_type=jnp.float32
     )
@@ -129,7 +139,7 @@ def _run_fwd(gates_x, w_hh, interpret: bool):
     H = G // 4
     BB = _b_block(B)
     whh_t = w_hh.T  # (H, 4H)
-    hs, cs, gates = pl.pallas_call(
+    hs, cs = pl.pallas_call(
         functools.partial(_fwd_kernel, H=H),
         grid=(B // BB, T),
         in_specs=[
@@ -143,13 +153,10 @@ def _run_fwd(gates_x, w_hh, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, G), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((BB, H), jnp.float32),
@@ -157,25 +164,27 @@ def _run_fwd(gates_x, w_hh, interpret: bool):
         ],
         interpret=interpret,
     )(gates_x, whh_t)
-    return hs, cs, gates
+    return hs, cs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def lstm_layer(gates_x, w_hh, interpret: bool = False):
     """Pallas LSTM recurrence: (T, B, 4H) pre-gates + (4H, H) W_hh ->
     ((T, B, H) hidden states, (B, H) final cell state)."""
-    hs, cs, _ = _run_fwd(gates_x, w_hh, interpret)
+    hs, cs = _run_fwd(gates_x, w_hh, interpret)
     return hs, cs[-1]
 
 
 def _vjp_fwd(gates_x, w_hh, interpret):
-    hs, cs, gates = _run_fwd(gates_x, w_hh, interpret)
-    return (hs, cs[-1]), (w_hh, hs, cs, gates)
+    hs, cs = _run_fwd(gates_x, w_hh, interpret)
+    # residuals: the INPUT pre-gates (already in HBM, no copy) + h/c
+    # trajectories; pre-activations are recomputed in the backward kernel
+    return (hs, cs[-1]), (w_hh, gates_x, hs, cs)
 
 
 def _vjp_bwd(interpret, residuals, cotangents):
     dhs, dc_last = cotangents
-    w_hh, hs, cs, gates = residuals
+    w_hh, gates_x, hs, cs = residuals
     T, B, H = hs.shape
     G = 4 * H
     # shifted (t-1) views with a zero block at t == 0
@@ -189,15 +198,15 @@ def _vjp_bwd(interpret, residuals, cotangents):
         functools.partial(_bwd_kernel, H=H, T=T),
         grid=(B // BB, T),
         in_specs=[
-            pl.BlockSpec((1, BB, G), rev, memory_space=pltpu.VMEM),  # gates
+            pl.BlockSpec((1, BB, G), rev, memory_space=pltpu.VMEM),  # gx
             pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # c_prev
             pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # c_t
             pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # h_prev
             pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # dhs
             pl.BlockSpec((BB, H), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),                   # dc_last
-            pl.BlockSpec((G, H), lambda b, r: (0, 0),
-                         memory_space=pltpu.VMEM),                   # w_hh
+            pl.BlockSpec((H, G), lambda b, r: (0, 0),
+                         memory_space=pltpu.VMEM),                   # w_hh^T
         ],
         out_specs=[
             pl.BlockSpec((1, BB, G), rev, memory_space=pltpu.VMEM),
@@ -213,7 +222,7 @@ def _vjp_bwd(interpret, residuals, cotangents):
             pltpu.VMEM((BB, H), jnp.float32),
         ],
         interpret=interpret,
-    )(gates, cs_prev, cs, hs_prev, dhs, dc_last, w_hh)
+    )(gates_x, cs_prev, cs, hs_prev, dhs, dc_last, w_hh.T)
     return dgx, dwhh.T
 
 
