@@ -78,12 +78,10 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     if _pallas_eligible(x, H):
         from mlvae_tpu.ops.lstm_pallas import lstm_layer as pallas_lstm
         gx_t = jnp.swapaxes(gates_x, 0, 1).astype(jnp.float32)  # (T, B, 4H)
-        if reverse:
-            gx_t = jnp.flip(gx_t, axis=0)
-        hs, c_last = pallas_lstm(gx_t, w_hh.astype(jnp.float32))
-        h_last = hs[-1]
-        if reverse:
-            hs = jnp.flip(hs, axis=0)
+        # the reverse direction is handled by the kernel's index maps —
+        # no materialized jnp.flip of (T,B,4H)/(T,B,H) tensors
+        hs, c_last = pallas_lstm(gx_t, w_hh.astype(jnp.float32), reverse)
+        h_last = hs[0] if reverse else hs[-1]
         return (jnp.swapaxes(hs, 0, 1).astype(x.dtype),
                 h_last.astype(x.dtype), c_last.astype(x.dtype))
 

@@ -14,10 +14,14 @@ This kernel runs the WHOLE time loop inside one Mosaic program:
   MXU dot per step — free, the step is HBM-bandwidth-bound) instead of
   materializing a (T, B, 4H) gates residual, accumulating dW_hh in VMEM
   and emitting per-step gate grads from which XLA recovers dX / dW_ih /
-  db with one more big matmul.
+  db with one more big matmul;
+* the REVERSE direction of a bi-LSTM is expressed purely through the grid
+  index maps (gather block T-1-t, scatter to the same position), so no
+  (T, B, 4H)/(T, B, H) ``jnp.flip`` is ever materialized in HBM — inputs
+  and outputs stay in natural time order for both directions.
 
-Exposed as ``lstm_layer(gates_x, w_hh)`` with a custom VJP; the nn.LSTM
-module uses it on TPU and falls back to ``lax.scan`` elsewhere.
+Exposed as ``lstm_layer(gates_x, w_hh, reverse)`` with a custom VJP; the
+nn.LSTM module uses it on TPU and falls back to ``lax.scan`` elsewhere.
 """
 from __future__ import annotations
 
@@ -60,9 +64,9 @@ def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref,
 
 def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
                 dc_last_ref, whh_t_ref, dgx_ref, dwhh_ref, dh_scr, dc_scr,
-                *, H: int, T: int):
+                *, H: int):
     b = pl.program_id(0)
-    r = pl.program_id(1)  # 0 .. T-1, walking time BACKWARD via index maps
+    r = pl.program_id(1)  # 0 .. T-1, walking processing order BACKWARD
 
     @pl.when(r == 0)
     def _():
@@ -78,8 +82,7 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     # Recompute the pre-activations instead of reading a saved residual:
     # the extra (BB,H)x(H,4H) dot is free on the idle MXU, while NOT
     # writing the (T,B,4H) f32 gates tensor in the forward pass removes
-    # the single largest HBM stream of the training step (the step is
-    # bandwidth-bound: ~29 GB accessed / step at B=128).
+    # the single largest HBM stream of the training step.
     h_prev = hs_prev_ref[0]
     gates = gx_ref[0] + jnp.dot(h_prev, whh_t_ref[:],
                                 preferred_element_type=jnp.float32)
@@ -88,7 +91,7 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     g = jnp.tanh(gates[:, 2 * H:3 * H])
     o = _sigmoid(gates[:, 3 * H:4 * H])
     c_t = cs_ref[0]
-    c_prev = cs_prev_ref[0]   # zeros block at t == 0 (see index map)
+    c_prev = cs_prev_ref[0]   # zeros block at the first processed step
 
     dh = dhs_ref[0] + dh_scr[:]
     tanh_c = jnp.tanh(c_t)
@@ -129,30 +132,37 @@ def _b_block(B: int) -> int:
     return max(blk, 8)
 
 
-def _run_fwd(gates_x, w_hh, interpret: bool):
-    """gates_x: (T, B, 4H); w_hh: (4H, H) torch layout.
+def _time_map(T: int, flipped: bool):
+    """Block index map over (T, B, *) arrays: gather/scatter position t (or
+    T-1-t when the PROCESSING order is reversed), batch-block b."""
+    if flipped:
+        return lambda b, t: (T - 1 - t, b, 0)
+    return lambda b, t: (t, b, 0)
+
+
+def _run_fwd(gates_x, w_hh, reverse: bool, interpret: bool):
+    """gates_x: (T, B, 4H) natural time order; w_hh: (4H, H) torch layout.
 
     Grid = (batch blocks, T): time is the sequential inner dimension so the
     h/c scratch carries persist within each batch block; batch blocking keeps
-    VMEM bounded for any B."""
+    VMEM bounded for any B.  ``reverse`` processes t = T-1..0 via the index
+    maps; outputs are scattered back to natural positions (no flips)."""
     T, B, G = gates_x.shape
     H = G // 4
     BB = _b_block(B)
     whh_t = w_hh.T  # (H, 4H)
+    tm = _time_map(T, reverse)
     hs, cs = pl.pallas_call(
         functools.partial(_fwd_kernel, H=H),
         grid=(B // BB, T),
         in_specs=[
-            pl.BlockSpec((1, BB, G), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, G), tm, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BB, H), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, H), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
@@ -167,49 +177,59 @@ def _run_fwd(gates_x, w_hh, interpret: bool):
     return hs, cs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def lstm_layer(gates_x, w_hh, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lstm_layer(gates_x, w_hh, reverse: bool = False,
+               interpret: bool = False):
     """Pallas LSTM recurrence: (T, B, 4H) pre-gates + (4H, H) W_hh ->
-    ((T, B, H) hidden states, (B, H) final cell state)."""
-    hs, cs = _run_fwd(gates_x, w_hh, interpret)
-    return hs, cs[-1]
+    ((T, B, H) hidden states in natural time order, (B, H) final cell
+    state — the state after the last PROCESSED step, i.e. t=0 when
+    ``reverse``)."""
+    hs, cs = _run_fwd(gates_x, w_hh, reverse, interpret)
+    return hs, (cs[0] if reverse else cs[-1])
 
 
-def _vjp_fwd(gates_x, w_hh, interpret):
-    hs, cs = _run_fwd(gates_x, w_hh, interpret)
+def _vjp_fwd(gates_x, w_hh, reverse, interpret):
+    hs, cs = _run_fwd(gates_x, w_hh, reverse, interpret)
     # residuals: the INPUT pre-gates (already in HBM, no copy) + h/c
     # trajectories; pre-activations are recomputed in the backward kernel
-    return (hs, cs[-1]), (w_hh, gates_x, hs, cs)
+    c_last = cs[0] if reverse else cs[-1]
+    return (hs, c_last), (w_hh, gates_x, hs, cs)
 
 
-def _vjp_bwd(interpret, residuals, cotangents):
+def _vjp_bwd(reverse, interpret, residuals, cotangents):
     dhs, dc_last = cotangents
     w_hh, gates_x, hs, cs = residuals
     T, B, H = hs.shape
     G = 4 * H
-    # shifted (t-1) views with a zero block at t == 0
+    # previous-in-PROCESSING-order states, zero at the first processed step
     zero_h = jnp.zeros((1, B, H), jnp.float32)
-    cs_prev = jnp.concatenate([zero_h, cs[:-1]], axis=0)
-    hs_prev = jnp.concatenate([zero_h, hs[:-1]], axis=0)
+    if reverse:  # processed t = T-1..0, so "previous" is t+1
+        cs_prev = jnp.concatenate([cs[1:], zero_h], axis=0)
+        hs_prev = jnp.concatenate([hs[1:], zero_h], axis=0)
+    else:
+        cs_prev = jnp.concatenate([zero_h, cs[:-1]], axis=0)
+        hs_prev = jnp.concatenate([zero_h, hs[:-1]], axis=0)
 
     BB = _b_block(B)
-    rev = lambda b, r: (T - 1 - r, b, 0)  # walk time backward per batch block
+    # BPTT walks the processing order backward: r=0 is the LAST processed
+    # step (t=T-1 forward, t=0 reverse)
+    tm = _time_map(T, not reverse)
     dgx, dwhh = pl.pallas_call(
-        functools.partial(_bwd_kernel, H=H, T=T),
+        functools.partial(_bwd_kernel, H=H),
         grid=(B // BB, T),
         in_specs=[
-            pl.BlockSpec((1, BB, G), rev, memory_space=pltpu.VMEM),  # gx
-            pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # c_prev
-            pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # c_t
-            pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # h_prev
-            pl.BlockSpec((1, BB, H), rev, memory_space=pltpu.VMEM),  # dhs
+            pl.BlockSpec((1, BB, G), tm, memory_space=pltpu.VMEM),  # gx
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),  # h_prev
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),  # dhs
             pl.BlockSpec((BB, H), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),                   # dc_last
             pl.BlockSpec((H, G), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),                   # w_hh^T
         ],
         out_specs=[
-            pl.BlockSpec((1, BB, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, G), tm, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -34,7 +34,7 @@ def test_pallas_lstm_forward_matches_scan():
     rs = np.random.RandomState(0)
     gx = jnp.asarray(rs.randn(24, 8, 64) * 0.5, jnp.float32)
     w = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
-    hs_p, c_last = lstm_layer(gx, w, True)
+    hs_p, c_last = lstm_layer(gx, w, False, True)
     hs_s = _scan_lstm(gx, w)
     np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
                                rtol=1e-5, atol=1e-6)
@@ -46,7 +46,7 @@ def test_pallas_lstm_gradients_match_scan():
     gx = jnp.asarray(rs.randn(16, 8, 64) * 0.5, jnp.float32)
     w = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
 
-    gp = jax.grad(lambda g, ww: jnp.sum(lstm_layer(g, ww, True)[0] ** 2),
+    gp = jax.grad(lambda g, ww: jnp.sum(lstm_layer(g, ww, False, True)[0] ** 2),
                   argnums=(0, 1))(gx, w)
     gs = jax.grad(lambda g, ww: jnp.sum(_scan_lstm(g, ww) ** 2),
                   argnums=(0, 1))(gx, w)
@@ -83,11 +83,52 @@ def test_pallas_lstm_final_cell_state_gradient():
                                         jnp.zeros((B, H))), g)
         return c
 
-    c_p = lstm_layer(gx, w, True)[1]
+    c_p = lstm_layer(gx, w, False, True)[1]
     c_s = scan_c_last(gx, w)
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s),
                                rtol=1e-5, atol=1e-6)
-    gp = jax.grad(lambda g: jnp.sum(lstm_layer(g, w, True)[1] ** 2))(gx)
+    gp = jax.grad(lambda g: jnp.sum(lstm_layer(g, w, False, True)[1] ** 2))(gx)
     gs = jax.grad(lambda g: jnp.sum(scan_c_last(g, w) ** 2))(gx)
     rel = float(jnp.abs(gp - gs).max() / jnp.maximum(jnp.abs(gs).max(), 1e-8))
+    assert rel < 1e-5, rel
+
+
+def test_pallas_lstm_reverse_matches_flipped_scan():
+    """reverse=True must equal scanning the flipped sequence and flipping
+    back — values, final cell state, and gradients (the kernel handles the
+    direction via index maps; no flips are materialized)."""
+    rs = np.random.RandomState(4)
+    gx = jnp.asarray(rs.randn(20, 8, 64) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
+
+    hs_r, c_r = lstm_layer(gx, w, True, True)
+    hs_s = jnp.flip(_scan_lstm(jnp.flip(gx, axis=0), w), axis=0)
+    np.testing.assert_allclose(np.asarray(hs_r), np.asarray(hs_s),
+                               rtol=1e-5, atol=1e-6)
+    # final cell state of reverse processing == scan's last carry on the
+    # flipped sequence; check via gradient round trip instead of carries
+    gp = jax.grad(lambda g: jnp.sum(lstm_layer(g, w, True, True)[0] ** 2)
+                  + jnp.sum(lstm_layer(g, w, True, True)[1] ** 2))(gx)
+    def ref(g):
+        hs = _scan_lstm(jnp.flip(g, axis=0), w)
+        # c trajectory is not exposed by _scan_lstm; rebuild last c
+        T, B, G = g.shape
+        H = G // 4
+        w_t = w.T
+        def step(carry, gt):
+            h, c = carry
+            gates = gt + h @ w_t
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H:2 * H])
+            gg = jnp.tanh(gates[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H:])
+            c = f * c + i * gg
+            return (o * jnp.tanh(c), c), None
+        (h, c), _ = jax.lax.scan(step, (jnp.zeros((B, H)),
+                                        jnp.zeros((B, H))),
+                                 jnp.flip(g, axis=0))
+        return jnp.sum(hs ** 2) + jnp.sum(c ** 2)
+    gs = jax.grad(ref)(gx)
+    rel = float(jnp.abs(gp - gs).max() / jnp.maximum(jnp.abs(gs).max(),
+                                                     1e-8))
     assert rel < 1e-5, rel
