@@ -53,7 +53,7 @@ def _pallas_eligible(x, H: int) -> bool:
             return False
     except Exception:
         return False
-    B = x.shape[0]
+    B = x.shape[1]
     # bf16 inputs are accepted too: the gate projection runs in bf16 on the
     # MXU and the recurrence casts to f32 at the kernel boundary
     return (x.dtype in (jnp.float32, jnp.bfloat16)
@@ -61,29 +61,35 @@ def _pallas_eligible(x, H: int) -> bool:
 
 
 def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
-    """Run one unidirectional LSTM layer over (B, T, C) input.
+    """Run one unidirectional LSTM layer over TIME-MAJOR (T, B, C) input.
 
-    Returns (hs (B, T, H), h_last (B, H), c_last (B, H)); the finals are the
+    The whole stack runs time-major internally (one transpose at the LSTM
+    entry/exit instead of a (T,B,4H)-sized transpose per layer-direction —
+    at f32 those per-layer transposes were the largest avoidable HBM stream
+    of the training step).
+
+    Returns (hs (T, B, H), h_last (B, H), c_last (B, H)); the finals are the
     state after the last PROCESSED step (for ``reverse=True`` that is t=0,
     matching torch's bidirectional convention).
     """
-    # One big MXU matmul for all timesteps.
+    # One big MXU matmul for all timesteps, emitted directly in time-major
+    # layout — no transpose between the projection and the recurrence.
     gates_x = (
-        jnp.einsum("btc,gc->btg", x, w_ih, preferred_element_type=x.dtype)
+        jnp.einsum("tbc,gc->tbg", x, w_ih, preferred_element_type=x.dtype)
         + b_ih
         + b_hh
-    )  # (B, T, 4H)
+    )  # (T, B, 4H)
     H = w_hh.shape[1]
 
     if _pallas_eligible(x, H):
         from mlvae_tpu.ops.lstm_pallas import lstm_layer as pallas_lstm
-        gx_t = jnp.swapaxes(gates_x, 0, 1).astype(jnp.float32)  # (T, B, 4H)
         # the reverse direction is handled by the kernel's index maps —
         # no materialized jnp.flip of (T,B,4H)/(T,B,H) tensors
-        hs, c_last = pallas_lstm(gx_t, w_hh.astype(jnp.float32), reverse)
+        hs, c_last = pallas_lstm(gates_x.astype(jnp.float32),
+                                 w_hh.astype(jnp.float32), reverse)
         h_last = hs[0] if reverse else hs[-1]
-        return (jnp.swapaxes(hs, 0, 1).astype(x.dtype),
-                h_last.astype(x.dtype), c_last.astype(x.dtype))
+        return (hs.astype(x.dtype), h_last.astype(x.dtype),
+                c_last.astype(x.dtype))
 
     w_hh_t = w_hh.T  # (H, 4H)
 
@@ -92,14 +98,14 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         h, c = _lstm_cell(gx + h @ w_hh_t, c, H)
         return (h, c), h
 
-    gx_t = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4H)
-    (h_last, c_last), hs = jax.lax.scan(step, (h0, c0), gx_t,
+    (h_last, c_last), hs = jax.lax.scan(step, (h0, c0), gates_x,
                                         reverse=reverse)
-    return jnp.swapaxes(hs, 0, 1), h_last, c_last  # (B, T, H)
+    return hs, h_last, c_last  # (T, B, H)
 
 
 def _bilstm_layer(x, w_ih_f, w_hh_f, b_f, w_ih_b, w_hh_b, b_b):
-    """Bidirectional layer: forward + reverse scans, outputs concatenated.
+    """Bidirectional layer over time-major input: forward + reverse scans,
+    outputs concatenated on the feature axis.
 
     NOTE(perf): a fused single-scan variant (both directions carried in one
     scan, measured both block-diagonal and two-matmul forms) was tried and
@@ -108,7 +114,7 @@ def _bilstm_layer(x, w_ih_f, w_hh_f, b_f, w_ih_b, w_hh_b, b_b):
     outweighs the saved scan overhead.  Keep the simple form; a Pallas LSTM
     kernel is the real next lever.
     """
-    B = x.shape[0]
+    B = x.shape[1]
     H = w_hh_f.shape[1]
     z = jnp.zeros((B, H), x.dtype)
     fwd, h_f, c_f = _lstm_layer(x, z, z, w_ih_f, w_hh_f, b_f,
@@ -181,7 +187,8 @@ class LSTM(Module):
         H = self.hidden_size
         stream = RngStream.ensure(rng) if (train and self.dropout > 0) else None
 
-        out = x
+        # run the whole stack time-major; transpose once in and once out
+        out = jnp.swapaxes(x, 0, 1)  # (T, B, C)
         last_h = []
         last_c = []
         for layer in range(self.num_layers):
@@ -217,4 +224,4 @@ class LSTM(Module):
 
         h_n = jnp.stack(last_h, axis=0)
         c_n = jnp.stack(last_c, axis=0)
-        return out, (h_n, c_n)
+        return jnp.swapaxes(out, 0, 1), (h_n, c_n)  # back to (B, T, H)

@@ -79,11 +79,17 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
         # output block across ALL batch blocks — zero once at the start
         dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
 
+    # cs_prev/hs_prev are VIEWS of the saved trajectories through a
+    # shifted index map (no concatenated copies in HBM); at the first
+    # processed step (r == T-1 here) the shifted map is clamped and the
+    # true previous state is the initial zeros — mask it in-kernel.
+    valid = (r != pl.num_programs(1) - 1).astype(jnp.float32)
+
     # Recompute the pre-activations instead of reading a saved residual:
     # the extra (BB,H)x(H,4H) dot is free on the idle MXU, while NOT
     # writing the (T,B,4H) f32 gates tensor in the forward pass removes
     # the single largest HBM stream of the training step.
-    h_prev = hs_prev_ref[0]
+    h_prev = hs_prev_ref[0] * valid
     gates = gx_ref[0] + jnp.dot(h_prev, whh_t_ref[:],
                                 preferred_element_type=jnp.float32)
     i = _sigmoid(gates[:, 0 * H:1 * H])
@@ -91,7 +97,7 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     g = jnp.tanh(gates[:, 2 * H:3 * H])
     o = _sigmoid(gates[:, 3 * H:4 * H])
     c_t = cs_ref[0]
-    c_prev = cs_prev_ref[0]   # zeros block at the first processed step
+    c_prev = cs_prev_ref[0] * valid   # zeros at the first processed step
 
     dh = dhs_ref[0] + dh_scr[:]
     tanh_c = jnp.tanh(c_t)
@@ -201,27 +207,29 @@ def _vjp_bwd(reverse, interpret, residuals, cotangents):
     w_hh, gates_x, hs, cs = residuals
     T, B, H = hs.shape
     G = 4 * H
-    # previous-in-PROCESSING-order states, zero at the first processed step
-    zero_h = jnp.zeros((1, B, H), jnp.float32)
-    if reverse:  # processed t = T-1..0, so "previous" is t+1
-        cs_prev = jnp.concatenate([cs[1:], zero_h], axis=0)
-        hs_prev = jnp.concatenate([hs[1:], zero_h], axis=0)
-    else:
-        cs_prev = jnp.concatenate([zero_h, cs[:-1]], axis=0)
-        hs_prev = jnp.concatenate([zero_h, hs[:-1]], axis=0)
 
     BB = _b_block(B)
     # BPTT walks the processing order backward: r=0 is the LAST processed
     # step (t=T-1 forward, t=0 reverse)
     tm = _time_map(T, not reverse)
+    # previous-in-PROCESSING-order state views: the SAME hs/cs arrays read
+    # through a one-step-shifted index map (clamped at the first processed
+    # step, where the kernel masks the block to zeros) — no concatenated
+    # (T, B, H) copies in HBM.
+    if reverse:  # processing order was t = T-1..0, so "previous" is t+1
+        tm_prev = lambda b, r: (jnp.minimum(r + 1, T - 1), b, 0)
+    else:        # processing order was t = 0..T-1; BPTT visits t = T-1-r
+        tm_prev = lambda b, r: (jnp.maximum(T - 2 - r, 0), b, 0)
     dgx, dwhh = pl.pallas_call(
         functools.partial(_bwd_kernel, H=H),
         grid=(B // BB, T),
         in_specs=[
             pl.BlockSpec((1, BB, G), tm, memory_space=pltpu.VMEM),  # gx
-            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((1, BB, H), tm_prev,
+                         memory_space=pltpu.VMEM),                    # c_prev
             pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),  # c_t
-            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),  # h_prev
+            pl.BlockSpec((1, BB, H), tm_prev,
+                         memory_space=pltpu.VMEM),                    # h_prev
             pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),  # dhs
             pl.BlockSpec((BB, H), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),                   # dc_last
@@ -242,7 +250,7 @@ def _vjp_bwd(reverse, interpret, residuals, cotangents):
             pltpu.VMEM((BB, H), jnp.float32),
         ],
         interpret=interpret,
-    )(gates_x, cs_prev, cs, hs_prev, dhs, dc_last, w_hh.T)
+    )(gates_x, cs, cs, hs, dhs, dc_last, w_hh.T)
     return dgx, dwhh.T
 
 

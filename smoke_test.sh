@@ -8,7 +8,8 @@ WORKDIR="${1:-/tmp/mlvae_smoke}"
 mkdir -p "$WORKDIR"
 cd "$WORKDIR"
 
-export PYTHONPATH="$REPO"
+# append (not overwrite): the ambient PYTHONPATH may carry the TPU plugin
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 
 python -m mlvae_tpu.cli.train "$REPO/config/run.yaml" \
     --dataset SynAudioMNIST --language digits --n_phonemes 12 \
