@@ -20,8 +20,27 @@ from mlvae_tpu.hyperyaml.loader import _parse_tagged
 logger = logging.getLogger(__name__)
 
 
+def _apply_device_opt(run_opts: Dict) -> None:
+    """Honor ``--device`` (reference run_opts carry ``device: cuda:0|cpu``,
+    consumed by sb.Brain): map it onto the jax platform BEFORE any backend
+    initializes.  ``cpu`` forces the CPU backend even when a TPU plugin is
+    ambient (the plugin wins over the JAX_PLATFORMS env var alone)."""
+    device = str(run_opts.get("device", "") or "").lower()
+    if not device:
+        return
+    import jax
+
+    platform = device.split(":")[0]
+    if platform in ("cuda", "gpu"):  # reference default naming; jax: 'gpu'
+        platform = "gpu"
+    if platform in ("cpu", "gpu", "tpu"):
+        jax.config.update("jax_platforms", platform)
+        logger.info("device run_opt: jax platform forced to %r", platform)
+
+
 def prepare_experiment(args: List[str], prepare_exp_dir: bool = True) -> Dict:
     hparams_file, run_opts, overrides_str = parse_arguments(args)
+    _apply_device_opt(run_opts)
 
     overrides = _parse_tagged(overrides_str) if overrides_str else {}
     overrides = overrides or {}

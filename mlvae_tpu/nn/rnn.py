@@ -38,10 +38,20 @@ def _lstm_cell(gates, c, H: int):
 
 
 # Pallas recurrence kernel gate: ~2x over lax.scan on v5e (8.7 vs 16.9 ms
-# fwd+bwd at B=128, T=160, H=512).  Disabled automatically off-TPU, for
-# unaligned shapes, and under multi-device meshes (XLA cannot partition the
-# custom call; the Brain flips this off when data-parallel is active).
+# fwd+bwd at B=128, T=160, H=512).  Disabled automatically off-TPU and for
+# unaligned shapes.  Under a device mesh the kernel runs per-shard through
+# ``jax.shard_map`` (GSPMD cannot partition the custom call itself): the
+# Brain publishes the active mesh in PALLAS_LSTM_MESH and each device runs
+# the recurrence on its local batch shard.
 PALLAS_LSTM_ENABLED = True
+PALLAS_LSTM_MESH = None          # set by the Brain when a mesh is active
+PALLAS_LSTM_DATA_AXIS = "data"
+
+
+def _mesh_data_size() -> int:
+    if PALLAS_LSTM_MESH is None:
+        return 1
+    return dict(PALLAS_LSTM_MESH.shape).get(PALLAS_LSTM_DATA_AXIS, 1)
 
 
 def _pallas_eligible(x, H: int) -> bool:
@@ -54,10 +64,14 @@ def _pallas_eligible(x, H: int) -> bool:
     except Exception:
         return False
     B = x.shape[1]
-    # bf16 inputs are accepted too: the gate projection runs in bf16 on the
-    # MXU and the recurrence casts to f32 at the kernel boundary
+    d = _mesh_data_size()
+    # bf16 inputs stream bf16 through the kernel DMA (the recurrence
+    # arithmetic and carries stay f32 in VMEM); bf16 blocks need the
+    # 16-row sublane tile.  Under a mesh the PER-SHARD batch must stay
+    # kernel-aligned.
+    align = 16 if x.dtype == jnp.bfloat16 else 8
     return (x.dtype in (jnp.float32, jnp.bfloat16)
-            and B % 8 == 0 and H % 128 == 0)
+            and B % (align * d) == 0 and H % 128 == 0)
 
 
 def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
@@ -82,11 +96,17 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     H = w_hh.shape[1]
 
     if _pallas_eligible(x, H):
-        from mlvae_tpu.ops.lstm_pallas import lstm_layer as pallas_lstm
+        if PALLAS_LSTM_MESH is not None:
+            from mlvae_tpu.ops.lstm_pallas import sharded_lstm_layer
+            pallas_lstm = sharded_lstm_layer(PALLAS_LSTM_MESH,
+                                             PALLAS_LSTM_DATA_AXIS)
+        else:
+            from mlvae_tpu.ops.lstm_pallas import lstm_layer as pallas_lstm
         # the reverse direction is handled by the kernel's index maps —
-        # no materialized jnp.flip of (T,B,4H)/(T,B,H) tensors
-        hs, c_last = pallas_lstm(gates_x.astype(jnp.float32),
-                                 w_hh.astype(jnp.float32), reverse)
+        # no materialized jnp.flip of (T,B,4H)/(T,B,H) tensors.  gates_x
+        # streams in its native dtype (bf16 under AMP — halves the largest
+        # HBM transfers of the step); weights and carries are f32 inside.
+        hs, c_last = pallas_lstm(gates_x, w_hh.astype(jnp.float32), reverse)
         h_last = hs[0] if reverse else hs[-1]
         return (hs.astype(x.dtype), h_last.astype(x.dtype),
                 c_last.astype(x.dtype))

@@ -48,15 +48,17 @@ def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref,
 
     h = h_scr[:]
     c = c_scr[:]
-    gates = gx_ref[0] + jnp.dot(h, whh_t_ref[:],
-                                preferred_element_type=jnp.float32)
+    # gx may stream as bf16 (AMP): upcast in-register; carries/compute
+    # stay f32 in VMEM (bf16 carries drift over long sequences)
+    gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
+        h, whh_t_ref[:], preferred_element_type=jnp.float32)
     i = _sigmoid(gates[:, 0 * H:1 * H])
     f = _sigmoid(gates[:, 1 * H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
     o = _sigmoid(gates[:, 3 * H:4 * H])
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
-    hs_ref[0] = h_new
+    hs_ref[0] = h_new.astype(hs_ref.dtype)
     cs_ref[0] = c_new
     h_scr[:] = h_new
     c_scr[:] = c_new
@@ -89,9 +91,9 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     # the extra (BB,H)x(H,4H) dot is free on the idle MXU, while NOT
     # writing the (T,B,4H) f32 gates tensor in the forward pass removes
     # the single largest HBM stream of the training step.
-    h_prev = hs_prev_ref[0] * valid
-    gates = gx_ref[0] + jnp.dot(h_prev, whh_t_ref[:],
-                                preferred_element_type=jnp.float32)
+    h_prev = hs_prev_ref[0].astype(jnp.float32) * valid
+    gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
+        h_prev, whh_t_ref[:], preferred_element_type=jnp.float32)
     i = _sigmoid(gates[:, 0 * H:1 * H])
     f = _sigmoid(gates[:, 1 * H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -99,7 +101,7 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     c_t = cs_ref[0]
     c_prev = cs_prev_ref[0] * valid   # zeros at the first processed step
 
-    dh = dhs_ref[0] + dh_scr[:]
+    dh = dhs_ref[0].astype(jnp.float32) + dh_scr[:]
     tanh_c = jnp.tanh(c_t)
     do = dh * tanh_c
     dc = dc_scr[:] + dh * o * (1.0 - tanh_c * tanh_c)
@@ -113,8 +115,8 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
         df * f * (1.0 - f),
         dg * (1.0 - g * g),
         do * o * (1.0 - o),
-    ], axis=1)  # (B, 4H)
-    dgx_ref[0] = dgates
+    ], axis=1)  # (B, 4H) f32; streamed out in the gx dtype (bf16 under AMP)
+    dgx_ref[0] = dgates.astype(dgx_ref.dtype)
     # contract the gate dim of both operands — no transposed weight copy
     dh_scr[:] = jax.lax.dot_general(
         dgates, whh_t_ref[:], (((1,), (1,)), ((), ())),
@@ -171,7 +173,9 @@ def _run_fwd(gates_x, w_hh, reverse: bool, interpret: bool):
             pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            # hs streams in the input dtype (bf16 under AMP: the consumers
+            # are bf16 matmuls); cs stays f32 (backward dc-chain precision)
+            jax.ShapeDtypeStruct((T, B, H), gates_x.dtype),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         ],
         scratch_shapes=[
@@ -202,9 +206,10 @@ def _vjp_fwd(gates_x, w_hh, reverse, interpret):
     return (hs, c_last), (w_hh, gates_x, hs, cs)
 
 
-def _vjp_bwd(reverse, interpret, residuals, cotangents):
-    dhs, dc_last = cotangents
-    w_hh, gates_x, hs, cs = residuals
+def _run_bwd(gates_x, hs, cs, dhs, dc_last, w_hh, reverse: bool,
+             interpret: bool):
+    """Backward kernel launch: returns (dgx (T,B,4H), dW_hh (4H,H) torch
+    layout).  Shared by the single-device VJP and the shard_map DP path."""
     T, B, H = hs.shape
     G = 4 * H
 
@@ -242,7 +247,9 @@ def _vjp_bwd(reverse, interpret, residuals, cotangents):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
+            # dgx in the gx dtype: its consumers (dX / dW_ih / db matmuls)
+            # run bf16 on the MXU under AMP; dW_hh accumulates f32
+            jax.ShapeDtypeStruct((T, B, G), gates_x.dtype),
             jax.ShapeDtypeStruct((H, G), jnp.float32),
         ],
         scratch_shapes=[
@@ -254,4 +261,73 @@ def _vjp_bwd(reverse, interpret, residuals, cotangents):
     return dgx, dwhh.T
 
 
+def _vjp_bwd(reverse, interpret, residuals, cotangents):
+    dhs, dc_last = cotangents
+    w_hh, gates_x, hs, cs = residuals
+    return _run_bwd(gates_x, hs, cs, dhs, dc_last, w_hh, reverse, interpret)
+
+
 lstm_layer.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_lstm_layer(mesh, data_axis: str = "data"):
+    """``lstm_layer`` running per-device on the local batch shard.
+
+    XLA's GSPMD partitioner cannot split a Pallas custom call, so under a
+    device mesh the kernels are launched inside ``jax.shard_map`` over the
+    batch-sharding axis: each chip runs the recurrence on its local (T,
+    B/d, 4H) shard with the (replicated) recurrent weights resident in its
+    own VMEM.  The only cross-chip communication the layer itself needs is
+    one ``psum`` of the per-shard dW_hh accumulator in the backward pass —
+    the same collective XLA would emit for any batch-parallel matmul's
+    weight gradient, riding ICI.
+
+    Returns a function ``f(gates_x, w_hh, reverse=False, interpret=False)``
+    with the same signature/semantics as :func:`lstm_layer`.  Cached per
+    (mesh, axis) so repeated traces reuse one custom-VJP instance.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec_tb = P(None, data_axis, None)  # (T, B, *): batch-sharded
+    spec_b = P(data_axis, None)         # (B, H)
+    rep = P()
+
+    def _sm(fn, in_specs, out_specs):
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+    def _fwd(gates_x, w_hh, reverse, interpret):
+        return _sm(
+            functools.partial(_run_fwd, reverse=reverse, interpret=interpret),
+            (spec_tb, rep), (spec_tb, spec_tb),
+        )(gates_x, w_hh)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+    def f(gates_x, w_hh, reverse: bool = False, interpret: bool = False):
+        hs, cs = _fwd(gates_x, w_hh, reverse, interpret)
+        return hs, (cs[0] if reverse else cs[-1])
+
+    def fwd_rule(gates_x, w_hh, reverse, interpret):
+        hs, cs = _fwd(gates_x, w_hh, reverse, interpret)
+        c_last = cs[0] if reverse else cs[-1]
+        return (hs, c_last), (w_hh, gates_x, hs, cs)
+
+    def bwd_rule(reverse, interpret, residuals, cotangents):
+        dhs, dc_last = cotangents
+        w_hh, gates_x, hs, cs = residuals
+
+        def local(gx, hs_l, cs_l, dhs_l, dcl, w):
+            dgx, dwhh = _run_bwd(gx, hs_l, cs_l, dhs_l, dcl, w,
+                                 reverse, interpret)
+            # per-shard accumulator -> global weight grad over ICI
+            return dgx, jax.lax.psum(dwhh, data_axis)
+
+        return _sm(
+            local,
+            (spec_tb, spec_tb, spec_tb, spec_tb, spec_b, rep),
+            (spec_tb, rep),
+        )(gates_x, hs, cs, dhs, dc_last, w_hh)
+
+    f.defvjp(fwd_rule, bwd_rule)
+    return f

@@ -121,10 +121,12 @@ class Brain:
                 from mlvae_tpu.parallel.mesh import make_mesh
                 self.mesh = make_mesh(n)
                 logger.info("data-parallel over %d devices", self.mesh.size)
-            # XLA cannot partition the Pallas LSTM custom call across a
-            # mesh; fall back to the scan recurrence under DP
+            # GSPMD cannot partition the Pallas LSTM custom call itself;
+            # publish the mesh so the LSTM launches its kernels per-shard
+            # through jax.shard_map (nn/rnn._pallas_eligible &
+            # ops/lstm_pallas.sharded_lstm_layer)
             from mlvae_tpu.nn import rnn as _rnn
-            _rnn.PALLAS_LSTM_ENABLED = False
+            _rnn.PALLAS_LSTM_MESH = self.mesh
         self.params: Optional[Dict[str, Any]] = None
         self.states: Dict[str, Any] = {}
         self.optimizers: Dict[str, Tuple[Any, Optional[List[str]]]] = {}

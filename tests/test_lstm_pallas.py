@@ -132,3 +132,32 @@ def test_pallas_lstm_reverse_matches_flipped_scan():
     rel = float(jnp.abs(gp - gs).max() / jnp.maximum(jnp.abs(gs).max(),
                                                      1e-8))
     assert rel < 1e-5, rel
+
+
+def test_pallas_lstm_bf16_streams():
+    """bf16 gates stream through the kernel DMA while carries stay f32:
+    outputs must track the f32 scan within bf16 rounding (AMP mode)."""
+    rs = np.random.RandomState(7)
+    gx32 = jnp.asarray(rs.randn(24, 16, 64) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
+    gx16 = gx32.astype(jnp.bfloat16)
+
+    hs_p, c_last = lstm_layer(gx16, w, False, True)
+    assert hs_p.dtype == jnp.bfloat16
+    assert c_last.dtype == jnp.float32
+    hs_s = _scan_lstm(gx32, w)
+    err = float(jnp.abs(hs_p.astype(jnp.float32) - hs_s).max())
+    assert err < 0.03, err
+
+    # gradients flow (dgx emitted in bf16, dW_hh in f32)
+    g_gx, g_w = jax.grad(
+        lambda g, ww: jnp.sum(lstm_layer(g, ww, False, True)[0]
+                              .astype(jnp.float32) ** 2),
+        argnums=(0, 1))(gx16, w)
+    assert g_gx.dtype == jnp.bfloat16
+    assert g_w.dtype == jnp.float32
+    gs_gx, gs_w = jax.grad(lambda g, ww: jnp.sum(_scan_lstm(g, ww) ** 2),
+                           argnums=(0, 1))(gx32, w)
+    rel_w = float(jnp.abs(g_w - gs_w).max()
+                  / jnp.maximum(jnp.abs(gs_w).max(), 1e-8))
+    assert rel_w < 0.05, rel_w
