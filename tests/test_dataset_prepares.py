@@ -154,8 +154,41 @@ def test_kog2p_basic():
     from mlvae_tpu.utils.kog2p import g2p, decompose
 
     syl = decompose("한")  # h-a-n
-    assert syl == [["h0", "aa", "nn"]]
+    assert syl == [["h0", "aa", "nf"]]
     phones = g2p("한국")
-    assert phones[0] == "h0" and "nn" in phones
-    # final-consonant neutralization: 빛 coda ch -> t0
-    assert g2p("빛")[-1] == "t0"
+    assert phones[0] == "h0" and "nf" in phones
+    # final-consonant neutralization: 빛 coda ch -> tf
+    assert g2p("빛")[-1] == "tf"
+
+
+def test_kog2p_sandhi_processes():
+    from mlvae_tpu.utils.kog2p import g2p
+
+    # nasalization, liquidization, palatalization, aspiration,
+    # tensification, liaison, cluster simplification
+    assert g2p("독립") == ["t0", "oo", "ng", "nn", "ii", "pf"]     # 동닙
+    assert g2p("신라") == ["s0", "ii", "ll", "rr", "aa"]           # 실라
+    assert g2p("같이") == ["k0", "aa", "ch", "ii"]                 # 가치
+    assert g2p("좋다") == ["c0", "oo", "th", "aa"]                 # 조타
+    assert g2p("학교") == ["h0", "aa", "kf", "kk", "yo"]           # 학꾜
+    assert g2p("한국어") == ["h0", "aa", "nf", "k0", "uu", "k0",
+                             "vv"]                                  # 한구거
+    assert g2p("값") == ["k0", "aa", "pf"]                          # 갑
+
+
+def test_kog2p_rulebook_loader(tmp_path):
+    from mlvae_tpu.utils.kog2p import (apply_rules, g2p, graph2phone,
+                                       read_rules)
+
+    # KoG2P rulebook format: tab-separated regex pattern/replacement with
+    # '#' comment lines; a user rulebook overrides the built-in rules
+    rb = tmp_path / "rules.txt"
+    rb.write_text("# comment line\nkf,-rr,\tng,-nn,\n", encoding="utf-8")
+    rules = read_rules(str(rb))
+    assert rules == [("kf,-rr,", "ng,-nn,")]
+    assert apply_rules("t0,oo,kf,-rr,ii,pf,", rules) \
+        == "t0,oo,ng,-nn,ii,pf,"
+    assert g2p("독립", rulebook=str(rb)) \
+        == ["t0", "oo", "ng", "nn", "ii", "pf"]
+    # romanization invariants: '-' syllable / '#' word delimiters
+    assert graph2phone("한 국") == "h0,aa,nf,#k0,uu,kf,"
