@@ -20,6 +20,7 @@ _ALIASES: Dict[str, str] = {
     "torch.use_deterministic_algorithms": "mlvae_tpu.utils.seed.use_deterministic_algorithms",
     # core nn (reference models/MD_VAE/model.yaml:78-83)
     "torch.nn.LSTM": "mlvae_tpu.nn.rnn.LSTM",
+    "torch.nn.GRU": "mlvae_tpu.nn.rnn.GRU",
     "torch.nn.LeakyReLU": "mlvae_tpu.nn.layers.LeakyReLU",
     # optimizers (reference models/*/model.yaml)
     "torch.optim.Adam": "mlvae_tpu.training.optim.Adam",

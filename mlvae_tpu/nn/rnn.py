@@ -104,9 +104,11 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
             from mlvae_tpu.ops.lstm_pallas import lstm_layer as pallas_lstm
         # the reverse direction is handled by the kernel's index maps —
         # no materialized jnp.flip of (T,B,4H)/(T,B,H) tensors.  gates_x
-        # streams in its native dtype (bf16 under AMP — halves the largest
-        # HBM transfers of the step); weights and carries are f32 inside.
-        hs, c_last = pallas_lstm(gates_x, w_hh.astype(jnp.float32), reverse)
+        # and w_hh keep their native dtype: under AMP (bf16) the gate
+        # streams halve and the recurrence dots run as single bf16 MXU
+        # passes with f32 accumulation; carries stay f32 in VMEM either
+        # way.  In f32 mode the kernel math is exact f32.
+        hs, c_last = pallas_lstm(gates_x, w_hh.astype(x.dtype), reverse)
         h_last = hs[0] if reverse else hs[-1]
         return (hs.astype(x.dtype), h_last.astype(x.dtype),
                 c_last.astype(x.dtype))
@@ -245,3 +247,115 @@ class LSTM(Module):
         h_n = jnp.stack(last_h, axis=0)
         c_n = jnp.stack(last_c, axis=0)
         return jnp.swapaxes(out, 0, 1), (h_n, c_n)  # back to (B, T, H)
+
+
+def _gru_layer(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
+    """One unidirectional GRU layer over TIME-MAJOR (T, B, C) input.
+
+    torch gate order (r, z, n) and semantics: the hidden-side bias of the
+    candidate gate sits INSIDE the reset product
+    (``n = tanh(gx_n + r * (h @ W_hn^T + b_hn))``), so only the input
+    projection (+ b_ih) is hoisted out of the scan; the hidden projection
+    stays inside.  Replaces ``torch.nn.GRU`` call sites (BASELINE.json
+    north star names conv/GRU/dense VAE stacks).
+    """
+    H = w_hh.shape[1]
+    gates_x = (
+        jnp.einsum("tbc,gc->tbg", x, w_ih, preferred_element_type=x.dtype)
+        + b_ih
+    )  # (T, B, 3H)
+    w_hh_t = w_hh.T  # (H, 3H)
+
+    def step(h, gx):
+        gh = h @ w_hh_t + b_hh
+        r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    h_last, hs = jax.lax.scan(step, h0, gates_x, reverse=reverse)
+    return hs, h_last
+
+
+class GRU(Module):
+    """Multi-layer (optionally bidirectional) GRU with ``torch.nn.GRU``
+    constructor/weight-layout parity (``!new:torch.nn.GRU`` YAML tag).
+
+    apply returns ``(output, h_n)`` like torch; callers index ``[0]``.
+    """
+
+    def __init__(self, input_size: int, hidden_size: int,
+                 num_layers: int = 1, batch_first: bool = True,
+                 dropout: float = 0.0, bidirectional: bool = False,
+                 bias: bool = True):
+        super().__init__()
+        self.input_size = int(input_size)
+        self.hidden_size = int(hidden_size)
+        self.num_layers = int(num_layers)
+        self.batch_first = bool(batch_first)
+        self.dropout = float(dropout)
+        self.bidirectional = bool(bidirectional)
+        self.bias = bool(bias)
+
+    def _directions(self):
+        return 2 if self.bidirectional else 1
+
+    def init(self, rng):
+        params = {}
+        H = self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+        idx = 0
+        for layer in range(self.num_layers):
+            in_size = (self.input_size if layer == 0
+                       else H * self._directions())
+            for direction in range(self._directions()):
+                sfx = f"l{layer}" + ("_reverse" if direction == 1 else "")
+                keys = jax.random.split(jax.random.fold_in(rng, idx), 4)
+                idx += 1
+                params[f"weight_ih_{sfx}"] = uniform_init(
+                    keys[0], (3 * H, in_size), bound)
+                params[f"weight_hh_{sfx}"] = uniform_init(
+                    keys[1], (3 * H, H), bound)
+                params[f"bias_ih_{sfx}"] = uniform_init(
+                    keys[2], (3 * H,), bound)
+                params[f"bias_hh_{sfx}"] = uniform_init(
+                    keys[3], (3 * H,), bound)
+        return params
+
+    def apply(self, params, x, rng=None, train: bool = False, **kwargs):
+        assert self.batch_first, "only batch_first=True is supported"
+        B = x.shape[0]
+        H = self.hidden_size
+        stream = RngStream.ensure(rng) if (train and self.dropout > 0) \
+            else None
+
+        out = jnp.swapaxes(x, 0, 1)  # (T, B, C)
+        last_h = []
+        for layer in range(self.num_layers):
+            z = jnp.zeros((B, H), out.dtype)
+            if self.bidirectional:
+                sfx = f"l{layer}"
+                fwd, h_f = _gru_layer(
+                    out, z, params[f"weight_ih_{sfx}"],
+                    params[f"weight_hh_{sfx}"],
+                    params[f"bias_ih_{sfx}"], params[f"bias_hh_{sfx}"])
+                bwd, h_b = _gru_layer(
+                    out, z, params[f"weight_ih_{sfx}_reverse"],
+                    params[f"weight_hh_{sfx}_reverse"],
+                    params[f"bias_ih_{sfx}_reverse"],
+                    params[f"bias_hh_{sfx}_reverse"], reverse=True)
+                out = jnp.concatenate([fwd, bwd], axis=-1)
+                last_h.extend([h_f, h_b])
+            else:
+                out, h_last = _gru_layer(
+                    out, z, params[f"weight_ih_l{layer}"],
+                    params[f"weight_hh_l{layer}"],
+                    params[f"bias_ih_l{layer}"],
+                    params[f"bias_hh_l{layer}"])
+                last_h.append(h_last)
+            if layer < self.num_layers - 1 and self.dropout > 0 and train:
+                out = dropout(stream.next(), out, self.dropout, train)
+
+        h_n = jnp.stack(last_h, axis=0)
+        return jnp.swapaxes(out, 0, 1), h_n  # back to (B, T, H)

@@ -49,9 +49,13 @@ def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref,
     h = h_scr[:]
     c = c_scr[:]
     # gx may stream as bf16 (AMP): upcast in-register; carries/compute
-    # stay f32 in VMEM (bf16 carries drift over long sequences)
+    # stay f32 in VMEM (bf16 carries drift over long sequences).  Under
+    # AMP the recurrent weights arrive bf16 and the dot runs as one bf16
+    # MXU pass with f32 accumulation (cuDNN-AMP-equivalent); in f32 mode
+    # both operands are f32 and the dot is exact.
     gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
-        h, whh_t_ref[:], preferred_element_type=jnp.float32)
+        h.astype(whh_t_ref.dtype), whh_t_ref[:],
+        preferred_element_type=jnp.float32)
     i = _sigmoid(gates[:, 0 * H:1 * H])
     f = _sigmoid(gates[:, 1 * H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -91,9 +95,11 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     # the extra (BB,H)x(H,4H) dot is free on the idle MXU, while NOT
     # writing the (T,B,4H) f32 gates tensor in the forward pass removes
     # the single largest HBM stream of the training step.
-    h_prev = hs_prev_ref[0].astype(jnp.float32) * valid
+    # keep h_prev in the streamed dtype for the MXU dots (bf16 under AMP)
+    h_prev = hs_prev_ref[0] * valid.astype(hs_prev_ref.dtype)
     gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
-        h_prev, whh_t_ref[:], preferred_element_type=jnp.float32)
+        h_prev.astype(whh_t_ref.dtype), whh_t_ref[:],
+        preferred_element_type=jnp.float32)
     i = _sigmoid(gates[:, 0 * H:1 * H])
     f = _sigmoid(gates[:, 1 * H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -117,12 +123,15 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
         do * o * (1.0 - o),
     ], axis=1)  # (B, 4H) f32; streamed out in the gx dtype (bf16 under AMP)
     dgx_ref[0] = dgates.astype(dgx_ref.dtype)
+    # MXU dots in the weight dtype (bf16 under AMP), f32 accumulation;
     # contract the gate dim of both operands — no transposed weight copy
+    dgates_w = dgates.astype(whh_t_ref.dtype)
     dh_scr[:] = jax.lax.dot_general(
-        dgates, whh_t_ref[:], (((1,), (1,)), ((), ())),
+        dgates_w, whh_t_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dwhh_ref[:] = dwhh_ref[:] + jnp.dot(
-        h_prev.T, dgates, preferred_element_type=jnp.float32
+        h_prev.astype(whh_t_ref.dtype).T, dgates_w,
+        preferred_element_type=jnp.float32
     )
 
 
@@ -258,7 +267,9 @@ def _run_bwd(gates_x, hs, cs, dhs, dc_last, w_hh, reverse: bool,
         ],
         interpret=interpret,
     )(gates_x, cs, cs, hs, dhs, dc_last, w_hh.T)
-    return dgx, dwhh.T
+    # dW_hh accumulates f32 in VMEM; emit in the weight dtype (the AMP
+    # cast transpose upcasts the cotangent to the f32 master params)
+    return dgx, dwhh.T.astype(w_hh.dtype)
 
 
 def _vjp_bwd(reverse, interpret, residuals, cotangents):
