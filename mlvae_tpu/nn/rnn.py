@@ -264,6 +264,14 @@ def _gru_layer(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         jnp.einsum("tbc,gc->tbg", x, w_ih, preferred_element_type=x.dtype)
         + b_ih
     )  # (T, B, 3H)
+
+    if _pallas_eligible(x, H) and PALLAS_LSTM_MESH is None:
+        from mlvae_tpu.ops.gru_pallas import gru_layer as pallas_gru
+        hs = pallas_gru(gates_x, w_hh.astype(x.dtype),
+                        b_hh.astype(jnp.float32), reverse)
+        h_last = hs[0] if reverse else hs[-1]
+        return hs.astype(x.dtype), h_last.astype(x.dtype)
+
     w_hh_t = w_hh.T  # (H, 3H)
 
     def step(h, gx):

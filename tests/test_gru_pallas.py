@@ -1,0 +1,71 @@
+"""Pallas GRU kernel parity vs the scan recurrence (interpret mode on
+CPU; same structure as test_lstm_pallas.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlvae_tpu.ops.gru_pallas import gru_layer
+
+
+def _scan_gru(gates_x, w_hh, b_hh, reverse=False):
+    T, B, G = gates_x.shape
+    H = G // 3
+    w_hh_t = w_hh.T
+
+    def step(h, gx):
+        gh = h @ w_hh_t + b_hh
+        r = jax.nn.sigmoid(gx[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gx[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    _, hs = jax.lax.scan(step, jnp.zeros((B, H)), gates_x, reverse=reverse)
+    return hs
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_gru_forward_matches_scan(reverse):
+    rs = np.random.RandomState(0)
+    gx = jnp.asarray(rs.randn(14, 8, 48) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(48, 16) * 0.1, jnp.float32)
+    b = jnp.asarray(rs.randn(48) * 0.1, jnp.float32)
+    hs_p = gru_layer(gx, w, b, reverse, True)
+    hs_s = _scan_gru(gx, w, b, reverse)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_gru_gradients_match_scan(reverse):
+    rs = np.random.RandomState(1)
+    gx = jnp.asarray(rs.randn(10, 8, 48) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(48, 16) * 0.1, jnp.float32)
+    b = jnp.asarray(rs.randn(48) * 0.1, jnp.float32)
+
+    gp = jax.grad(
+        lambda g, ww, bb: jnp.sum(gru_layer(g, ww, bb, reverse, True) ** 2),
+        argnums=(0, 1, 2))(gx, w, b)
+    gs = jax.grad(
+        lambda g, ww, bb: jnp.sum(_scan_gru(g, ww, bb, reverse) ** 2),
+        argnums=(0, 1, 2))(gx, w, b)
+    for a, b_ in zip(gp, gs):
+        rel = float(jnp.abs(a - b_).max()
+                    / jnp.maximum(jnp.abs(b_).max(), 1e-8))
+        assert rel < 1e-5, rel
+
+
+def test_pallas_gru_bf16_streams():
+    rs = np.random.RandomState(2)
+    gx32 = jnp.asarray(rs.randn(12, 16, 48) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(48, 16) * 0.1, jnp.float32)
+    b = jnp.asarray(rs.randn(48) * 0.1, jnp.float32)
+    gx16, w16 = gx32.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+
+    hs_p = gru_layer(gx16, w16, b, False, True)
+    assert hs_p.dtype == jnp.bfloat16
+    hs_s = _scan_gru(gx32, w, b)
+    err = float(jnp.abs(hs_p.astype(jnp.float32) - hs_s).max())
+    assert err < 0.03, err
