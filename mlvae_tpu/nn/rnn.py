@@ -265,8 +265,13 @@ def _gru_layer(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         + b_ih
     )  # (T, B, 3H)
 
-    if _pallas_eligible(x, H) and PALLAS_LSTM_MESH is None:
-        from mlvae_tpu.ops.gru_pallas import gru_layer as pallas_gru
+    if _pallas_eligible(x, H):
+        if PALLAS_LSTM_MESH is not None:
+            from mlvae_tpu.ops.gru_pallas import sharded_gru_layer
+            pallas_gru = sharded_gru_layer(PALLAS_LSTM_MESH,
+                                           PALLAS_LSTM_DATA_AXIS)
+        else:
+            from mlvae_tpu.ops.gru_pallas import gru_layer as pallas_gru
         hs = pallas_gru(gates_x, w_hh.astype(x.dtype),
                         b_hh.astype(jnp.float32), reverse)
         h_last = hs[0] if reverse else hs[-1]

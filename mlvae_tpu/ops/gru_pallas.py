@@ -186,3 +186,54 @@ def _vjp_bwd(reverse, interpret, residuals, dhs):
 
 
 gru_layer.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_gru_layer(mesh, data_axis: str = "data"):
+    """``gru_layer`` running per-device on the local batch shard via
+    ``jax.shard_map`` (same rationale as ``lstm_pallas.sharded_lstm_layer``:
+    GSPMD cannot partition the custom call).  dW_hh/db_hh are psum'd over
+    the data axis in the backward pass."""
+    from jax.sharding import PartitionSpec as P
+
+    spec_tb = P(None, data_axis, None)
+    rep = P()
+
+    def _sm(fn, in_specs, out_specs):
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+    def _fwd(gates_x, w_hh, b_hh, reverse, interpret):
+        return _sm(
+            functools.partial(_run_fwd, reverse=reverse,
+                              interpret=interpret),
+            (spec_tb, rep, rep), spec_tb,
+        )(gates_x, w_hh, b_hh)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+    def f(gates_x, w_hh, b_hh, reverse: bool = False,
+          interpret: bool = False):
+        return _fwd(gates_x, w_hh, b_hh, reverse, interpret)
+
+    def fwd_rule(gates_x, w_hh, b_hh, reverse, interpret):
+        hs = _fwd(gates_x, w_hh, b_hh, reverse, interpret)
+        return hs, (w_hh, b_hh, gates_x, hs)
+
+    def bwd_rule(reverse, interpret, residuals, dhs):
+        w_hh, b_hh, gates_x, hs = residuals
+
+        def local(gx, hs_l, dhs_l, w, bb):
+            dgx, dwhh, dbhh = _run_bwd(gx, hs_l, dhs_l, w, bb,
+                                       reverse, interpret)
+            return (dgx, jax.lax.psum(dwhh, data_axis),
+                    jax.lax.psum(dbhh, data_axis))
+
+        dgx, dwhh, dbhh = _sm(
+            local, (spec_tb, spec_tb, spec_tb, rep, rep),
+            (spec_tb, rep, rep),
+        )(gates_x, hs, dhs, w_hh, b_hh)
+        return (dgx, dwhh.T.astype(w_hh.dtype),
+                dbhh.reshape(-1).astype(b_hh.dtype))
+
+    f.defvjp(fwd_rule, bwd_rule)
+    return f

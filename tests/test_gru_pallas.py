@@ -69,3 +69,31 @@ def test_pallas_gru_bf16_streams():
     hs_s = _scan_gru(gx32, w, b)
     err = float(jnp.abs(hs_p.astype(jnp.float32) - hs_s).max())
     assert err < 0.03, err
+
+
+def test_sharded_pallas_gru_matches_scan():
+    from mlvae_tpu.ops.gru_pallas import sharded_gru_layer
+    from mlvae_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    f = sharded_gru_layer(mesh, "data")
+    rs = np.random.RandomState(5)
+    gx = jnp.asarray(rs.randn(10, 16, 48) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(48, 16) * 0.1, jnp.float32)
+    b = jnp.asarray(rs.randn(48) * 0.1, jnp.float32)
+
+    hs_p = jax.jit(lambda g, ww, bb: f(g, ww, bb, False, True))(gx, w, b)
+    hs_s = _scan_gru(gx, w, b)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
+                               rtol=1e-5, atol=1e-6)
+
+    gp = jax.jit(jax.grad(
+        lambda g, ww, bb: jnp.sum(f(g, ww, bb, False, True) ** 2),
+        argnums=(0, 1, 2)))(gx, w, b)
+    gs = jax.grad(
+        lambda g, ww, bb: jnp.sum(_scan_gru(g, ww, bb) ** 2),
+        argnums=(0, 1, 2))(gx, w, b)
+    for a, b_ in zip(gp, gs):
+        rel = float(jnp.abs(a - b_).max()
+                    / jnp.maximum(jnp.abs(b_).max(), 1e-8))
+        assert rel < 1e-5, rel
