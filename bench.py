@@ -5,6 +5,13 @@ while running the FULL fused training step on the heaviest (VAE) target —
 forward through all three sub-networks, the on-device Viterbi self-training
 decode, backward, clip, and the optimizer update.
 
+The step runs in the framework's AMP mode (``--bf16``, the counterpart of
+the reference's sb.Brain ``auto_mix_prec`` AMP path, reference
+``md_model.py:54-88``): recurrence/matmul streams in bf16, all loss math,
+distribution transforms, carries, params, grads and the Viterbi decode in
+f32 (``nn/dist.py`` mirrors torch autocast's fp32 op list; one-step loss
+matches f32 to ~1e-5 relative, ``tests/test_mixed_precision.py``).
+
 ``vs_baseline``: BASELINE.md's north-star target is >=5x the reference's
 A100 throughput; the reference publishes no numbers (BASELINE.json
 ``published: {}``), so the denominator is an engineering estimate of the
@@ -40,6 +47,7 @@ def main():
 
     B, T, L = 128, 160, 8  # 128 x 3.2-second utterances per step
     model = build_md_vae(batch_size=B)
+    model.auto_mix_prec = True  # AMP (bf16 streams, f32 loss math)
     model.target = Target.VAE
     model.init_params()
     batch = synth_batch(batch_size=B, T=T, L=L)
@@ -55,7 +63,9 @@ def main():
     params, opt_states, states, loss, _ = step(
         params, opt_states, states, rng, batch, epoch
     )
-    jax.block_until_ready(loss)
+    # block_until_ready is unreliable through the axon tunnel; a scalar
+    # fetch is a true sync (see docs/PERF.md).
+    float(loss)
 
     iters = 30
     t0 = time.perf_counter()
@@ -64,7 +74,7 @@ def main():
             params, opt_states, states, jax.random.fold_in(rng, i), batch,
             epoch,
         )
-    jax.block_until_ready(loss)
+    float(loss)
     dt = (time.perf_counter() - t0) / iters
 
     utt_sec_per_step = B * T * HOP_SEC

@@ -24,24 +24,37 @@ from jax.scipy.special import digamma, gammaln
 LOG_2PI = math.log(2.0 * math.pi)
 
 
+def _f32(x):
+    """AMP policy (mirrors torch autocast's fp32 op list): every function in
+    this module computes its log/exp/pow/special-function math in f32 even
+    when activations stream bf16 — bf16 eps-clamps collapse (1 - 1e-12 == 1
+    in bf16) and produce inf/NaN losses.  Per-element LOSSES return f32 (the
+    masked reductions accumulate exactly); SAMPLES that feed matmuls are
+    cast back to the input dtype at the call site."""
+    return jnp.asarray(x, jnp.float32)
+
+
 # -- Gaussian ---------------------------------------------------------------
 
 def reparameterize(rng, mean, log_var):
-    std = jnp.exp(0.5 * log_var)
-    eps = jax.random.normal(rng, mean.shape, mean.dtype)
-    return eps * std + mean
+    std = jnp.exp(0.5 * _f32(log_var))
+    eps = jax.random.normal(rng, mean.shape, jnp.float32)
+    return (eps * std + _f32(mean)).astype(mean.dtype)
 
 
 def kld_std_normal(mean, log_var):
-    """Per-element KL(q(z)=N(mean,var) || N(0,1))."""
+    """Per-element KL(q(z)=N(mean,var) || N(0,1)); f32."""
+    mean, log_var = _f32(mean), _f32(log_var)
     return -0.5 * (1.0 + log_var - jnp.square(mean) - jnp.exp(log_var))
 
 
 def kld_gaussian_prior(prior_mean, prior_log_var, mean, log_var, eps=1e-5):
     """Per-element KL between diag Gaussians with a learned prior.
 
-    Matches the reference's eps-regularized form (``gmm_vae.py:62-66``).
+    Matches the reference's eps-regularized form (``gmm_vae.py:62-66``); f32.
     """
+    prior_mean, prior_log_var = _f32(prior_mean), _f32(prior_log_var)
+    mean, log_var = _f32(mean), _f32(log_var)
     return -0.5 * (
         1.0
         + log_var
@@ -52,7 +65,8 @@ def kld_gaussian_prior(prior_mean, prior_log_var, mean, log_var, eps=1e-5):
 
 
 def gaussian_nll(mean, log_var, target, eps=1e-5):
-    """Per-element negative Gaussian log-likelihood (``decoder.py:40-43``)."""
+    """Per-element negative Gaussian log-likelihood (``decoder.py:40-43``); f32."""
+    mean, log_var, target = _f32(mean), _f32(log_var), _f32(target)
     ll = -0.5 * (
         LOG_2PI + log_var + jnp.square(target - mean) / (jnp.exp(log_var) + eps)
     )
@@ -62,14 +76,16 @@ def gaussian_nll(mean, log_var, target, eps=1e-5):
 # -- Gumbel softmax ----------------------------------------------------------
 
 def gumbel_softmax(rng, logits, tau: float = 1.0, hard: bool = False):
-    g = jax.random.gumbel(rng, logits.shape, logits.dtype)
+    in_dtype = logits.dtype
+    logits = _f32(logits)
+    g = jax.random.gumbel(rng, logits.shape, jnp.float32)
     y_soft = jax.nn.softmax((logits + g) / tau, axis=-1)
     if not hard:
-        return y_soft
+        return y_soft.astype(in_dtype)
     idx = jnp.argmax(y_soft, axis=-1)
-    y_hard = jax.nn.one_hot(idx, logits.shape[-1], dtype=logits.dtype)
+    y_hard = jax.nn.one_hot(idx, logits.shape[-1], dtype=jnp.float32)
     # straight-through estimator
-    return y_hard + y_soft - jax.lax.stop_gradient(y_soft)
+    return (y_hard + y_soft - jax.lax.stop_gradient(y_soft)).astype(in_dtype)
 
 
 # -- Kumaraswamy / Beta -------------------------------------------------------
@@ -80,7 +96,8 @@ def kumaraswamy_sample(rng, alpha, beta, u_lo=0.01, u_span=0.98, eps=1e-5):
     The squashing of u and v mirrors the reference exactly
     (``boundary_detector.py:61-67``).
     """
-    u = jax.random.uniform(rng, alpha.shape, alpha.dtype)
+    alpha, beta = _f32(alpha), _f32(beta)
+    u = jax.random.uniform(rng, alpha.shape, jnp.float32)
     u = u * u_span + u_lo
     v = jnp.power(1.0 - jnp.power(u, 1.0 / beta), 1.0 / alpha)
     return v * (1.0 - 2.0 * eps) + eps
@@ -91,8 +108,9 @@ def kld_beta(alpha, beta, prior_alpha, prior_beta):
 
     Equivalent to ``torch.distributions.kl_divergence(Beta, Beta)``.
     """
-    a0 = jnp.asarray(prior_alpha, alpha.dtype)
-    b0 = jnp.asarray(prior_beta, alpha.dtype)
+    alpha, beta = _f32(alpha), _f32(beta)
+    a0 = jnp.asarray(prior_alpha, jnp.float32)
+    b0 = jnp.asarray(prior_beta, jnp.float32)
 
     def log_beta_fn(a, b):
         return gammaln(a) + gammaln(b) - gammaln(a + b)
@@ -114,12 +132,14 @@ def bce(probs, targets, eps=1e-12):
     torch clamps log terms at -100; we clamp the probabilities which gives the
     same values for the reference's inputs (probs are already in (eps, 1-eps)).
     """
+    probs, targets = _f32(probs), _f32(targets)
     p = jnp.clip(probs, eps, 1.0 - eps)
     return -(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
 
 
 def bce_with_logits(logits, targets):
-    """Elementwise BCE-with-logits, numerically stable (torch semantics)."""
+    """Elementwise BCE-with-logits, numerically stable (torch semantics); f32."""
+    logits, targets = _f32(logits), _f32(targets)
     return (
         jnp.maximum(logits, 0.0)
         - logits * targets
@@ -134,19 +154,19 @@ def categorical_sample(rng, logits):
 
 
 def categorical_log_prob(logits, value):
-    """log p(value) for integer ``value`` under Categorical(logits)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    """log p(value) for integer ``value`` under Categorical(logits); f32."""
+    logp = jax.nn.log_softmax(_f32(logits), axis=-1)
     value = value.astype(jnp.int32)
     return jnp.take_along_axis(logp, value[..., None], axis=-1)[..., 0]
 
 
 def categorical_entropy(logits):
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(_f32(logits), axis=-1)
     return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
 
 
 def categorical_ll_onehot(logits, one_hot):
     """<logits, one_hot> — the reference's bmm trick
     (``utils/data_utils.py:184-208``); NOTE it contracts raw logits, not
-    log-probs, and we reproduce that behavior for parity."""
-    return jnp.sum(logits * one_hot, axis=-1)
+    log-probs, and we reproduce that behavior for parity; f32."""
+    return jnp.sum(_f32(logits) * _f32(one_hot), axis=-1)

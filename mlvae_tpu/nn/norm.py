@@ -46,8 +46,20 @@ class InputNormalization(Module):
         }
 
     def apply(self, state, feats, rel_lens, epoch=1, update: bool = False):
-        """Normalize (B, T, C) feats; returns (normed, new_state)."""
+        """Normalize (B, T, C) feats; returns (normed, new_state).
+
+        Statistics are always computed and stored in f32 (AMP hygiene:
+        running mean/std are counters, not activations), and the normalized
+        output is emitted in the INPUT dtype — under AMP a bf16 feature
+        stream stays bf16 here instead of being silently promoted to f32
+        by the f32 stats (which would drag every downstream recurrence
+        back to f32).
+        """
         eps = 1e-10
+        in_dtype = feats.dtype
+        feats = feats.astype(jnp.float32)
+        state = {k: v.astype(jnp.float32) for k, v in state.items()} \
+            if self.norm_type == "global" else state
         B, T, C = feats.shape
         mask = length_mask(rel_lens, T, dtype=feats.dtype)[..., None]  # (B,T,1)
         denom = jnp.maximum(mask.sum(axis=(1,)), 1.0)  # (B, 1)
@@ -57,13 +69,13 @@ class InputNormalization(Module):
 
         if self.norm_type == "sentence":
             out = (feats - cur_mean[:, None, :]) / cur_std[:, None, :]
-            return out, state
+            return out.astype(in_dtype), state
 
         if self.norm_type == "batch":
             bmean = cur_mean.mean(axis=0)
             bstd = jnp.maximum(cur_std.mean(axis=0), eps)
             out = (feats - bmean) / bstd
-            return out, state
+            return out.astype(in_dtype), state
 
         # global: fold batch stats into running averages when updating
         count = state["count"]
@@ -93,4 +105,4 @@ class InputNormalization(Module):
             "glob_mean": glob_mean,
             "glob_std": glob_std,
         }
-        return out, new_state
+        return out.astype(in_dtype), new_state

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mlvae_tpu.ops.lstm_pallas import _b_block, _time_map
+from mlvae_tpu.ops.lstm_pallas import _b_block, _b_block_bwd, _time_map
 
 
 def _fwd_kernel(gx_ref, whh_t_ref, bhh_ref, hs_ref, h_scr, *, H: int):
@@ -128,7 +128,7 @@ def _run_fwd(gates_x, w_hh, b_hh, reverse: bool, interpret: bool):
 def _run_bwd(gates_x, hs, dhs, w_hh, b_hh, reverse: bool, interpret: bool):
     T, B, H = hs.shape
     G = 3 * H
-    BB = _b_block(B)
+    BB = _b_block_bwd(B, gates_x.dtype)
     tm = _time_map(T, not reverse)
     if reverse:
         tm_prev = lambda b, r: (jnp.minimum(r + 1, T - 1), b, 0)

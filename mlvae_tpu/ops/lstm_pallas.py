@@ -149,6 +149,21 @@ def _b_block(B: int) -> int:
     return max(blk, 8)
 
 
+def _b_block_bwd(B: int, dtype) -> int:
+    """Batch block for the BACKWARD kernel, which streams ~6 time-varying
+    blocks (gx, dgx, four h/c trajectory views) double-buffered plus the
+    resident W_hh^T and dW_hh accumulator.  In f32 a single B=128 block sits
+    exactly at the 16 MB scoped-VMEM edge — any unrelated HLO layout change
+    tips it into a compile-time OOM — so f32 caps at MAX_B_BLOCK; bf16
+    streams keep the fast single-block grid up to B=128."""
+    if jnp.dtype(dtype).itemsize >= 4 and B > MAX_B_BLOCK:
+        blk = MAX_B_BLOCK
+        while B % blk:
+            blk //= 2
+        return max(blk, 8)
+    return _b_block(B)
+
+
 def _time_map(T: int, flipped: bool):
     """Block index map over (T, B, *) arrays: gather/scatter position t (or
     T-1-t when the PROCESSING order is reversed), batch-block b."""
@@ -222,7 +237,7 @@ def _run_bwd(gates_x, hs, cs, dhs, dc_last, w_hh, reverse: bool,
     T, B, H = hs.shape
     G = 4 * H
 
-    BB = _b_block(B)
+    BB = _b_block_bwd(B, gates_x.dtype)
     # BPTT walks the processing order backward: r=0 is the LAST processed
     # step (t=T-1 forward, t=0 reverse)
     tm = _time_map(T, not reverse)
