@@ -78,3 +78,43 @@ def test_nonfinite_grads_do_not_poison_params():
     assert not np.isfinite(float(loss))  # the loss itself is bad...
     for leaf in jax.tree_util.tree_leaves(params):  # ...but params survive
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_bf16_reaches_every_recurrence():
+    """Regression: the normalizer's f32 running stats used to promote the
+    whole downstream graph back to f32, making AMP a silent no-op.  Under
+    AMP every LSTM layer must see a bf16 input stream."""
+    import mlvae_tpu.nn.rnn as rnn
+    from mlvae_tpu.training.brain import _cast_floats
+
+    seen = []
+    orig = rnn._lstm_layer
+
+    def spy(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse=False):
+        seen.append(x.dtype)
+        return orig(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse)
+
+    model = build_md_vae(batch_size=8)
+    model.auto_mix_prec = True
+    model.target = Target.VAE
+    model.init_params()
+    batch = synth_batch(batch_size=8, T=32, L=4)
+    model.ensure_states(120)
+
+    p = _cast_floats(model.params, jnp.bfloat16)
+    b = _cast_floats(batch, jnp.bfloat16, min_ndim=2)
+    s = _cast_floats(model.states, jnp.bfloat16, min_ndim=1)
+
+    rnn._lstm_layer = spy
+    try:
+        jax.eval_shape(
+            lambda p, s, b: model.compute_forward(
+                p, s, b, Stage.TRAIN, jax.random.PRNGKey(0),
+                jnp.asarray(3, jnp.int32)),
+            p, s, b,
+        )
+    finally:
+        rnn._lstm_layer = orig
+
+    assert seen, "no LSTM layers traced"
+    assert all(d == jnp.bfloat16 for d in seen), seen
