@@ -46,8 +46,13 @@ def main():
     from mlvae_tpu.training.brain import Stage
 
     B, T, L = 128, 160, 8  # 128 x 3.2-second utterances per step
+    import os
     model = build_md_vae(batch_size=B)
-    model.auto_mix_prec = True  # AMP (bf16 streams, f32 loss math)
+    # AMP (bf16 streams, f32 loss math) by default; MLVAE_BENCH_PRECISION=f32
+    # reproduces the documented full-f32 figure.
+    model.auto_mix_prec = (
+        os.environ.get("MLVAE_BENCH_PRECISION", "bf16").lower() != "f32"
+    )
     model.target = Target.VAE
     model.init_params()
     batch = synth_batch(batch_size=B, T=T, L=L)

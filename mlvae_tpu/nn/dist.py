@@ -126,11 +126,13 @@ def kld_beta(alpha, beta, prior_alpha, prior_beta):
 
 # -- Bernoulli / BCE ----------------------------------------------------------
 
-def bce(probs, targets, eps=1e-12):
+def bce(probs, targets, eps=1e-7):
     """Elementwise binary cross entropy on probabilities (torch F.binary_cross_entropy).
 
     torch clamps log terms at -100; we clamp the probabilities which gives the
     same values for the reference's inputs (probs are already in (eps, 1-eps)).
+    eps must be >= ~1e-7: ``1 - 1e-12`` rounds to exactly 1.0 in f32, which
+    would make the upper clamp a no-op and let ``log1p(-p)`` return -inf.
     """
     probs, targets = _f32(probs), _f32(targets)
     p = jnp.clip(probs, eps, 1.0 - eps)

@@ -140,8 +140,10 @@ MAX_B_BLOCK = 64  # VMEM budget per batch block (v5e: 128 fits only when the
                   # pipeline buffer that tips 16 MB)
 
 
-def _b_block(B: int) -> int:
-    if B <= 128:  # single-block grid: no transition buffer, fastest
+def _b_block(B: int, cap: int = 128) -> int:
+    """Largest batch block <= cap that divides B (single block when B <= cap:
+    no transition buffer, fastest)."""
+    if B <= cap:
         return B
     blk = MAX_B_BLOCK
     while B % blk:
@@ -156,12 +158,8 @@ def _b_block_bwd(B: int, dtype) -> int:
     exactly at the 16 MB scoped-VMEM edge — any unrelated HLO layout change
     tips it into a compile-time OOM — so f32 caps at MAX_B_BLOCK; bf16
     streams keep the fast single-block grid up to B=128."""
-    if jnp.dtype(dtype).itemsize >= 4 and B > MAX_B_BLOCK:
-        blk = MAX_B_BLOCK
-        while B % blk:
-            blk //= 2
-        return max(blk, 8)
-    return _b_block(B)
+    cap = MAX_B_BLOCK if jnp.dtype(dtype).itemsize >= 4 else 128
+    return _b_block(B, cap)
 
 
 def _time_map(T: int, flipped: bool):

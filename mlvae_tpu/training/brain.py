@@ -236,10 +236,12 @@ class Brain:
                 if self.auto_mix_prec:
                     p = _cast_floats(p, jnp.bfloat16)
                     # batch: cast data arrays (ndim >= 2) only — never the
-                    # relative-length vectors; states: cast stat vectors but
-                    # not scalar counters
+                    # relative-length vectors.  States are NOT cast: they are
+                    # running statistics (normalizer mean/std, counters) that
+                    # must stay f32 — the modules consuming them emit the
+                    # activation stream in the activations' dtype themselves
+                    # (e.g. InputNormalization returns the input dtype).
                     b = _cast_floats(batch, jnp.bfloat16, min_ndim=2)
-                    s = _cast_floats(states, jnp.bfloat16, min_ndim=1)
                 preds, new_states = self.compute_forward(
                     p, s, b, Stage.TRAIN, rng, epoch
                 )

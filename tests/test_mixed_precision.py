@@ -118,3 +118,36 @@ def test_bf16_reaches_every_recurrence():
 
     assert seen, "no LSTM layers traced"
     assert all(d == jnp.bfloat16 for d in seen), seen
+
+
+def test_bf16_reaches_gru_recurrence():
+    """Same guard for the GRU path (conv/GRU VAE gate configs): a bf16
+    input stream must reach the recurrence un-promoted, and the output
+    must stay bf16."""
+    import mlvae_tpu.nn.rnn as rnn
+    from mlvae_tpu.nn.rnn import GRU
+
+    seen = []
+    orig = rnn._gru_layer
+
+    def spy(x, h0, w_ih, w_hh, b_ih, b_hh, reverse=False):
+        seen.append(x.dtype)
+        return orig(x, h0, w_ih, w_hh, b_ih, b_hh, reverse)
+
+    gru = GRU(24, 32, num_layers=2, batch_first=True, bidirectional=True)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        gru.init(jax.random.PRNGKey(0)),
+    )
+    x = jnp.zeros((4, 16, 24), jnp.bfloat16)
+
+    rnn._gru_layer = spy
+    try:
+        out = jax.eval_shape(lambda p, x: gru.apply(p, x)[0], params, x)
+    finally:
+        rnn._gru_layer = orig
+
+    assert seen, "no GRU layers traced"
+    assert all(d == jnp.bfloat16 for d in seen), seen
+    assert out.dtype == jnp.bfloat16, out.dtype
