@@ -6,16 +6,19 @@ acoustic model over 3-state-per-phoneme HMM outputs, trainable with
 ``viterbi`` (NLL against stored alignments) objectives; Viterbi alignments
 stored and scored for accuracy.
 
-Scheduling difference (documented): the reference recomputes and stores
-Viterbi alignments inside every training forward pass
-(``model.py:81-86``, a host sync per step); here alignments refresh on
-every VALID/TEST pass — the standard realignment schedule — keeping the
-train step a single XLA program.
+Scheduling: by default alignments refresh on every VALID/TEST pass — the
+standard realignment schedule — keeping the train step a single XLA
+program.  Setting ``realign_during_train: True`` in the recipe YAML
+restores the reference's exact schedule for the ``viterbi`` objective
+(alignments recomputed and stored from every TRAIN batch's posteriors,
+reference ``model.py:81-89``) at the cost of a host Viterbi per train
+step.
 """
 from __future__ import annotations
 
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +51,24 @@ class SBModel(MDModel):
 
     def _step_key(self):
         return getattr(self, "training_type", None)
+
+    def fit_batch(self, batch):
+        loss = super().fit_batch(batch)
+        if (self.training_type == "viterbi"
+                and bool(self.hparams.get("realign_during_train", False))):
+            # reference schedule (model.py:81-89): realign from THIS train
+            # batch's posteriors so next epoch's NLL targets are one epoch
+            # stale at most.  Forward-only eval step reuses the jit cache.
+            prepared = self.prepare_batch(batch)
+            dev_batch = self._cached_device_batch(prepared)
+            self.rng, step_rng = jax.random.split(self.rng)
+            epoch = jnp.asarray(self.current_epoch(), jnp.int32)
+            eval_step = self._get_compiled("eval", Stage.TRAIN)
+            preds, _, _ = eval_step(
+                self.params, self.states, step_rng, dev_batch, epoch
+            )
+            self.evaluate_predictions(preds, prepared, Stage.TRAIN)
+        return loss
 
     def prepare_batch(self, batch):
         if getattr(self, "training_type", None) == "viterbi":

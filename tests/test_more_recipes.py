@@ -86,3 +86,35 @@ def test_recipe_smoke(workdir, recipe):
     train_cli.main(args)
     log = (workdir / f"results/{recipe}_smoke/train_log.txt").read_text()
     assert "loss" in log
+
+
+def test_hmm_viterbi_realign_during_train(workdir):
+    """`realign_during_train: True` restores the reference schedule: the
+    viterbi objective refreshes stored alignments from every TRAIN batch
+    (reference HMM_DNN_ALI/model.py:81-89)."""
+    from mlvae_tpu.cli import train as train_cli
+
+    model_yaml = REPO / "mlvae_tpu/models/HMM_DNN_ALI/model.yaml"
+    args = [
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", "HMM_DNN_ALI",
+        "--model_name", "hmm_viterbi_realign",
+        "--model", f"!include:{model_yaml}",
+        "--extra_overrides",
+        "{model: {n_epochs: 1, init_training_type: viterbi, "
+        "switch_training_type: viterbi, realign_during_train: True}}",
+        "--debug", "--debug_batches", "2",
+    ]
+    model = train_cli.main(args)
+    # train-batch utterances must now be in the aligner store (the default
+    # schedule only stores VALID/TEST utterances)
+    aligner = model.hparams["aligner"]
+    assert len(aligner.align_dict) > 0
+    # train accuracy was appended (reference parity: accuracy at every stage)
+    log = (workdir / "results/hmm_viterbi_realign/train_log.txt").read_text()
+    train_lines = [l for l in log.splitlines()
+                   if "stage: train" in l and "accuracy.average" in l]
+    assert train_lines and "accuracy.average: 0.0," not in train_lines[-1]
