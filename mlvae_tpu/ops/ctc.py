@@ -27,7 +27,11 @@ from mlvae_tpu.utils.tensor import abs_lengths
 
 def ctc_loss(log_probs, targets, input_lens, target_lens, blank_index=0,
              reduction: str = "mean"):
-    """SpeechBrain-signature CTC loss (relative lens), jit-safe."""
+    """SpeechBrain-signature CTC loss (relative lens), jit-safe.
+
+    Always computed in f32 (AMP policy, same as nn/dist.py: the CTC
+    forward algorithm's logsumexp chains lose alignment mass in bf16)."""
+    log_probs = jnp.asarray(log_probs, jnp.float32)
     B, T, K = log_probs.shape
     L = targets.shape[1]
     in_abs = abs_lengths(input_lens, T)
