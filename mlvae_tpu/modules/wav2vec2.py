@@ -68,9 +68,14 @@ def _gelu(x):
 
 
 def _ln(x, scale, bias, eps):
-    m = x.mean(axis=-1, keepdims=True)
-    v = ((x - m) ** 2).mean(axis=-1, keepdims=True)
-    return (x - m) * jax.lax.rsqrt(v + eps) * scale + bias
+    # f32 statistics (torch-autocast policy: LayerNorm runs fp32); output
+    # returns in the stream dtype so AMP keeps the trunk bf16.
+    xf = jnp.asarray(x, jnp.float32)
+    m = xf.mean(axis=-1, keepdims=True)
+    v = ((xf - m) ** 2).mean(axis=-1, keepdims=True)
+    out = (xf - m) * jax.lax.rsqrt(v + eps) * jnp.asarray(scale, jnp.float32) \
+        + jnp.asarray(bias, jnp.float32)
+    return out.astype(x.dtype)
 
 
 class Wav2Vec2Encoder(Module):
