@@ -289,11 +289,12 @@ class Wav2Vec2Encoder(Module):
             if self.feat_extract_norm == "layer":
                 x = _ln(x, p["norm_scale"], p["norm_bias"], eps)
             elif self.feat_extract_norm == "group" and i == 0:
-                # HF GroupNorm(C, C): per-channel norm over time
-                m = x.mean(axis=1, keepdims=True)
-                v = ((x - m) ** 2).mean(axis=1, keepdims=True)
-                x = (x - m) * jax.lax.rsqrt(v + eps)
-                x = x * p["norm_scale"] + p["norm_bias"]
+                # HF GroupNorm(C, C): per-channel norm over time; f32 stats
+                xf = jnp.asarray(x, jnp.float32)
+                m = xf.mean(axis=1, keepdims=True)
+                v = ((xf - m) ** 2).mean(axis=1, keepdims=True)
+                xf = (xf - m) * jax.lax.rsqrt(v + eps)
+                x = (xf * p["norm_scale"] + p["norm_bias"]).astype(x.dtype)
             x = _gelu(x)
         return x
 
@@ -365,10 +366,11 @@ class Wav2Vec2Encoder(Module):
     def apply(self, params, wavs, rng=None, train: bool = False, **kwargs):
         x = jnp.asarray(wavs)
         if self.normalize_wav:
-            # HF Wav2Vec2FeatureExtractor do_normalize semantics
-            m = x.mean(axis=-1, keepdims=True)
-            v = ((x - m) ** 2).mean(axis=-1, keepdims=True)
-            x = (x - m) * jax.lax.rsqrt(v + 1e-7)
+            # HF Wav2Vec2FeatureExtractor do_normalize semantics; f32 stats
+            xf = jnp.asarray(x, jnp.float32)
+            m = xf.mean(axis=-1, keepdims=True)
+            v = ((xf - m) ** 2).mean(axis=-1, keepdims=True)
+            x = ((xf - m) * jax.lax.rsqrt(v + 1e-7)).astype(x.dtype)
         if self.freeze:
             params = jax.lax.stop_gradient(params)
         train = train and not self.freeze
@@ -381,9 +383,10 @@ class Wav2Vec2Encoder(Module):
         h = self._dropout(h, self.feat_proj_dropout, stream, train)
         h = self._encoder(params, h, stream, train)
         if self.output_norm:
-            m = h.mean(axis=-1, keepdims=True)
-            v = ((h - m) ** 2).mean(axis=-1, keepdims=True)
-            h = (h - m) * jax.lax.rsqrt(v + 1e-5)
+            hf = jnp.asarray(h, jnp.float32)
+            m = hf.mean(axis=-1, keepdims=True)
+            v = ((hf - m) ** 2).mean(axis=-1, keepdims=True)
+            h = ((hf - m) * jax.lax.rsqrt(v + 1e-5)).astype(h.dtype)
         return h
 
     def __call__(self, *args, **kwargs):
