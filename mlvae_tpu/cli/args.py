@@ -25,6 +25,9 @@ RUN_OPT_KEYS = {
     "num_devices": int,
     "tensor_parallel": int,
     "profile": bool,
+    "scan_epoch": bool,
+    "cache_device_batches": bool,
+    "device_batch_cache_mb": int,
 }
 
 

@@ -147,6 +147,14 @@ class Brain:
         self.device_batch_cache_limit = int(
             self.run_opts.get("device_batch_cache_mb", 2048)
         ) * 1024 * 1024
+        # epoch-in-jit: lax.scan the train step over runs of consecutive
+        # same-shape device batches — ONE dispatch per run instead of one
+        # per batch (the reference's per-batch eager loop pays a host
+        # round trip per step; over a remote device tunnel that dominates
+        # the epoch).  Numerics are identical to the per-batch loop: the
+        # same rng split sequence and batch order, the same step function.
+        self.scan_epoch = bool(self.run_opts.get("scan_epoch", False))
+        self._scan_stack_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     # recipe contract (pure functions)
@@ -467,6 +475,116 @@ class Brain:
         # round trip every batch (the fit loop averages once per epoch)
         return loss
 
+    # ------------------------------------------------------------------
+    # epoch-in-jit: one dispatch per run of same-shape batches
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _batch_signature(dev: Dict[str, Tuple]):
+        return tuple(
+            (k, tuple(a.shape), str(a.dtype), tuple(l.shape), str(l.dtype))
+            for k, (a, l) in sorted(dev.items())
+        )
+
+    def _get_scan_fn(self, sig, K: int):
+        ckey = ("train_scan", sig, K, self._step_key())
+        fn = self._compiled.get(ckey)
+        if fn is None:
+            step = self._get_compiled("train", Stage.TRAIN)
+
+            def scan_steps(params, opt_states, states, rngs, batches, epoch):
+                def body(carry, xs):
+                    p, o, st = carry
+                    rng, b = xs
+                    p, o, st, loss, losses = step(p, o, st, rng, b, epoch)
+                    return (p, o, st), (loss, losses)
+
+                return jax.lax.scan(
+                    body, (params, opt_states, states), (rngs, batches)
+                )
+
+            fn = jax.jit(scan_steps)
+            self._compiled[ckey] = fn
+        return fn
+
+    def _fit_epoch_scanned(self, train_loader):
+        """One TRAIN epoch as ``lax.scan`` over stacked device batches.
+
+        Semantics are IDENTICAL to the per-batch loop: same batch order,
+        same per-step rng split sequence, same step function — only the
+        dispatch granularity changes (one call per run of consecutive
+        same-shape batches instead of one per batch).  Requires the
+        device-batch cache (recipes that inject per-batch host state turn
+        that off and fall back to the per-batch loop).
+
+        Returns (mean train loss, utterance-seconds processed).
+        """
+        devs = []
+        total_frames = 0
+        for batch in train_loader:
+            prepared = self.prepare_batch(batch)
+            dev = self._cached_device_batch(prepared)
+            feats = dev.get("feat", dev.get("kaldi_feat"))
+            if feats is not None:
+                self.ensure_states(int(feats[0].shape[-1]))
+            feats_h, lens_h = batch["feat"]
+            total_frames += int(
+                np.round(np.asarray(lens_h) * feats_h.shape[1]).sum()
+            )
+            devs.append((tuple(batch.ids), dev))
+
+        # same epoch source as fit_batch (the counter, not the loop var)
+        epoch_arr = jnp.asarray(self.current_epoch(), jnp.int32)
+        pending = []  # (per-run loss array, per-run losses dict)
+        i = 0
+        while i < len(devs):
+            sig = self._batch_signature(devs[i][1])
+            j = i
+            while (j + 1 < len(devs)
+                   and self._batch_signature(devs[j + 1][1]) == sig):
+                j += 1
+            run = devs[i:j + 1]
+            K = len(run)
+            # reproduce the per-batch loop's rng sequence exactly
+            keys = []
+            for _ in range(K):
+                self.rng, k = jax.random.split(self.rng)
+                keys.append(k)
+            rngs = jnp.stack(keys)
+            stack_key = (tuple(ids for ids, _ in run), sig)
+            stacked = self._scan_stack_cache.get(stack_key)
+            if stacked is None:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *(d for _, d in run)
+                )
+                # stacked runs live under the same budget spirit as the
+                # per-batch cache; bound the map by entry count
+                if len(self._scan_stack_cache) < 64:
+                    self._scan_stack_cache[stack_key] = stacked
+            scan_fn = self._get_scan_fn(sig, K)
+            ((self.params, self.opt_states, self.states),
+             (ls, lss)) = scan_fn(
+                self.params, self.opt_states, self.states, rngs, stacked,
+                epoch_arr,
+            )
+            self.step += K
+            pending.append((ls, lss))
+            i = j + 1
+
+        # ONE host sync for the whole epoch
+        pending = jax.device_get(pending)
+        all_losses = []
+        for ls, lss in pending:
+            all_losses.extend(np.asarray(ls).tolist())
+            K = np.asarray(ls).shape[0]
+            for r in range(K):
+                self._record_losses(
+                    {k: v[r] for k, v in lss.items()}
+                )
+        mean_loss = float(np.mean(all_losses)) if all_losses else 0.0
+        hop_s = getattr(getattr(self, "step_timer", None), "hop_seconds",
+                        float(self.hparams.get("hop_length", 20)) / 1000.0)
+        return mean_loss, total_frames * hop_s
+
     def evaluate_batch(self, batch: PaddedBatch, stage: Stage) -> float:
         batch = self.prepare_batch(batch)
         dev_batch = self._cached_device_batch(batch)
@@ -520,25 +638,32 @@ class Brain:
             trace_dir = None
             if profile and epoch == 1 and "output_dir" in self.hparams:
                 trace_dir = str(Path(self.hparams["output_dir"]) / "profile")
+            use_scan = (self.scan_epoch and self.cache_device_batches
+                        and not self.debug)
             with trace(trace_dir or ".", enabled=trace_dir is not None):
-                for i, batch in enumerate(prefetch(train_loader)):
-                    self.step_timer.start()
-                    losses.append(self.fit_batch(batch))
-                    feats, lens = batch["feat"]
-                    frames = int(np.round(np.asarray(lens)
-                                          * feats.shape[1]).sum())
-                    self.step_timer.stop(frames)
-                    if self.debug and i + 1 >= self.debug_batches:
-                        break
-            self.avg_train_loss = float(np.mean(
-                [float(np.asarray(l)) for l in losses]
-            )) if losses else 0.0
+                if use_scan:
+                    self.avg_train_loss, total_audio = \
+                        self._fit_epoch_scanned(train_loader)
+                else:
+                    for i, batch in enumerate(prefetch(train_loader)):
+                        self.step_timer.start()
+                        losses.append(self.fit_batch(batch))
+                        feats, lens = batch["feat"]
+                        frames = int(np.round(np.asarray(lens)
+                                              * feats.shape[1]).sum())
+                        self.step_timer.stop(frames)
+                        if self.debug and i + 1 >= self.debug_batches:
+                            break
+            if not use_scan:
+                self.avg_train_loss = float(np.mean(
+                    [float(np.asarray(l)) for l in losses]
+                )) if losses else 0.0
+                total_audio = float(np.sum(self.step_timer.utt_seconds)) \
+                    if self.step_timer.utt_seconds else 0.0
             # the loss conversion above is the epoch's device sync point, so
             # wall-clock throughput is computed from the epoch duration (the
             # per-step timer sees only async dispatch now)
             wall = time.time() - t0
-            total_audio = float(np.sum(self.step_timer.utt_seconds)) \
-                if self.step_timer.utt_seconds else 0.0
             logger.info(
                 "epoch %d train: %.4f (%.1fs, %.0f utt-sec/sec)", epoch,
                 self.avg_train_loss, wall,

@@ -1,0 +1,91 @@
+"""Epoch-in-jit (`--scan_epoch`): lax.scan over stacked device batches must
+produce EXACTLY the same parameters, losses, and rng state as the per-batch
+loop — same batch order, same rng split sequence, same step function."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mlvae_tpu.bench_utils import build_md_vae, synth_batch
+from mlvae_tpu.models.MD_VAE.model import Target
+from mlvae_tpu.training.brain import Stage
+
+
+class _FakeLoader:
+    """Yields pre-built PaddedBatch-like dicts in a fixed order."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+class _FakeBatch(dict):
+    def __init__(self, data, ids):
+        super().__init__(data)
+        self.ids = ids
+        self["id"] = ids
+
+    def keys(self):
+        return [k for k in super().keys() if k != "id"]
+
+
+def _batches():
+    out = []
+    # two shape groups: 3 batches of T=32 then 2 of T=48 (duration-sorted
+    # loaders produce exactly this run structure)
+    for i, T in enumerate([32, 32, 32, 48, 48]):
+        b = synth_batch(batch_size=8, T=T, L=4, seed=100 + i)
+        out.append(_FakeBatch(b, [f"u{i}_{j}" for j in range(8)]))
+    return out
+
+
+def _run(scanned: bool):
+    model = build_md_vae(batch_size=8)
+    model.target = Target.VAE
+    model.scan_epoch = scanned
+    model.init_params()
+    model.ensure_states(120)
+    model.init_optimizers()
+    model.rng = jax.random.PRNGKey(7)
+
+    batches = _batches()
+    if scanned:
+        mean_loss, _ = model._fit_epoch_scanned(_FakeLoader(batches))
+    else:
+        losses = []
+        for b in batches:
+            losses.append(float(np.asarray(model.fit_batch(b))))
+        mean_loss = float(np.mean(losses))
+    return mean_loss, model.params, model.rng
+
+
+def test_scanned_epoch_matches_per_batch_loop():
+    loss_a, params_a, rng_a = _run(False)
+    loss_b, params_b, rng_b = _run(True)
+    assert np.allclose(loss_a, loss_b, rtol=1e-6), (loss_a, loss_b)
+    # the rng split sequence is reproduced exactly
+    assert jnp.array_equal(rng_a, rng_b)
+    def check(path, va, vb):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+    jax.tree_util.tree_map_with_path(check, params_a, params_b)
+
+
+def test_scanned_epoch_reuses_stacked_cache():
+    model = build_md_vae(batch_size=8)
+    model.target = Target.VAE
+    model.scan_epoch = True
+    model.init_params()
+    model.ensure_states(120)
+    model.init_optimizers()
+    batches = _batches()
+    model._fit_epoch_scanned(_FakeLoader(batches))
+    n = len(model._scan_stack_cache)
+    assert n == 2  # one stacked run per shape group
+    model._fit_epoch_scanned(_FakeLoader(batches))
+    assert len(model._scan_stack_cache) == n
