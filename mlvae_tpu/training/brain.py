@@ -585,6 +585,73 @@ class Brain:
                         float(self.hparams.get("hop_length", 20)) / 1000.0)
         return mean_loss, total_frames * hop_s
 
+    def _eval_epoch_scanned(self, loader, stage: Stage, limit=None):
+        """One VALID/TEST epoch as ``lax.scan`` over stacked device batches:
+        one dispatch + one host fetch per same-shape run, then the host-side
+        metric hooks (``evaluate_predictions``) replay per batch on the
+        fetched rows.  Same rng sequence and order as the per-batch loop."""
+        devs = []
+        for i, batch in enumerate(loader):
+            prepared = self.prepare_batch(batch)
+            dev = self._cached_device_batch(prepared)
+            feats = dev.get("feat", dev.get("kaldi_feat"))
+            if feats is not None:
+                self.ensure_states(int(feats[0].shape[-1]))
+            devs.append((prepared, dev))
+            if limit is not None and i + 1 >= limit:
+                break
+
+        epoch_arr = jnp.asarray(self.current_epoch(), jnp.int32)
+        losses_all = []
+        i = 0
+        while i < len(devs):
+            sig = self._batch_signature(devs[i][1])
+            j = i
+            while (j + 1 < len(devs)
+                   and self._batch_signature(devs[j + 1][1]) == sig):
+                j += 1
+            run = devs[i:j + 1]
+            K = len(run)
+            keys = []
+            for _ in range(K):
+                self.rng, k = jax.random.split(self.rng)
+                keys.append(k)
+            rngs = jnp.stack(keys)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *(d for _, d in run)
+            )
+            ckey = ("eval_scan", stage, sig, K, self._step_key())
+            scan_fn = self._compiled.get(ckey)
+            if scan_fn is None:
+                step = self._get_compiled("eval", stage)
+
+                def scan_fn(params, states, rngs, batches, epoch,
+                            _step=step):
+                    def body(_, xs):
+                        rng, b = xs
+                        preds, loss, losses = _step(
+                            params, states, rng, b, epoch)
+                        return None, (preds, loss, losses)
+
+                    return jax.lax.scan(body, None, (rngs, batches))[1]
+
+                scan_fn = jax.jit(scan_fn)
+                self._compiled[ckey] = scan_fn
+            preds_s, loss_s, losses_s = jax.device_get(scan_fn(
+                self.params, self.states, rngs, stacked, epoch_arr
+            ))
+            for r in range(K):
+                host_batch = run[r][0]
+                self._batch_ids = list(host_batch["id"])
+                self._record_losses(
+                    jax.tree_util.tree_map(lambda v: v[r], losses_s)
+                )
+                preds_r = jax.tree_util.tree_map(lambda v: v[r], preds_s)
+                self.evaluate_predictions(preds_r, host_batch, stage)
+                losses_all.append(float(np.asarray(loss_s[r])))
+            i = j + 1
+        return float(np.mean(losses_all)) if losses_all else 0.0
+
     def evaluate_batch(self, batch: PaddedBatch, stage: Stage) -> float:
         batch = self.prepare_batch(batch)
         dev_batch = self._cached_device_batch(batch)
@@ -674,12 +741,16 @@ class Brain:
             if valid_loader is not None:
                 self.training = False
                 self.on_stage_start(Stage.VALID, epoch)
-                vlosses = []
-                for i, batch in enumerate(prefetch(valid_loader)):
-                    vlosses.append(self.evaluate_batch(batch, Stage.VALID))
-                    if self.debug and i + 1 >= self.debug_batches:
-                        break
-                avg = float(np.mean(vlosses)) if vlosses else 0.0
+                if use_scan:
+                    avg = self._eval_epoch_scanned(valid_loader, Stage.VALID)
+                else:
+                    vlosses = []
+                    for i, batch in enumerate(prefetch(valid_loader)):
+                        vlosses.append(
+                            self.evaluate_batch(batch, Stage.VALID))
+                        if self.debug and i + 1 >= self.debug_batches:
+                            break
+                    avg = float(np.mean(vlosses)) if vlosses else 0.0
                 self.on_stage_end(Stage.VALID, avg, epoch)
         self.on_fit_end()
 
@@ -694,11 +765,15 @@ class Brain:
         loader = self.make_dataloader(
             test_set, Stage.TEST, **(test_loader_kwargs or {})
         )
-        losses = []
-        for i, batch in enumerate(prefetch(loader)):
-            losses.append(self.evaluate_batch(batch, Stage.TEST))
-            if self.debug and i + 1 >= self.debug_batches:
-                break
-        avg = float(np.mean(losses)) if losses else 0.0
+        if (self.scan_epoch and self.cache_device_batches
+                and not self.debug):
+            avg = self._eval_epoch_scanned(loader, Stage.TEST)
+        else:
+            losses = []
+            for i, batch in enumerate(prefetch(loader)):
+                losses.append(self.evaluate_batch(batch, Stage.TEST))
+                if self.debug and i + 1 >= self.debug_batches:
+                    break
+            avg = float(np.mean(losses)) if losses else 0.0
         self.on_stage_end(Stage.TEST, avg, epoch)
         return avg

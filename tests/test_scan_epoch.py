@@ -89,3 +89,33 @@ def test_scanned_epoch_reuses_stacked_cache():
     assert n == 2  # one stacked run per shape group
     model._fit_epoch_scanned(_FakeLoader(batches))
     assert len(model._scan_stack_cache) == n
+
+
+def test_scanned_eval_matches_per_batch_loop():
+    """Scanned VALID/TEST epochs must produce the same losses and the same
+    host-side metric-stat stream as the per-batch loop."""
+    def run(scanned):
+        model = build_md_vae(batch_size=8)
+        model.target = Target.TEST
+        model.scan_epoch = scanned
+        model.init_params()
+        model.ensure_states(120)
+        model.init_optimizers()
+        model.rng = jax.random.PRNGKey(11)
+        model.on_stage_start(Stage.TEST, 1)
+        batches = _batches()
+        if scanned:
+            avg = model._eval_epoch_scanned(_FakeLoader(batches), Stage.TEST)
+        else:
+            losses = []
+            for b in batches:
+                losses.append(model.evaluate_batch(b, Stage.TEST))
+            avg = float(np.mean(losses))
+        md = model.stats_loggers.get("plvl_md_stats")
+        summary = md.summarize() if md is not None else None
+        return avg, summary
+
+    avg_a, sum_a = run(False)
+    avg_b, sum_b = run(True)
+    assert np.allclose(avg_a, avg_b, rtol=1e-5), (avg_a, avg_b)
+    assert sum_a == sum_b, (sum_a, sum_b)
