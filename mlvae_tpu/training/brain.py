@@ -155,6 +155,7 @@ class Brain:
         # same rng split sequence and batch order, the same step function.
         self.scan_epoch = bool(self.run_opts.get("scan_epoch", False))
         self._scan_stack_cache: Dict[Any, Any] = {}
+        self._scan_stack_cache_bytes = 0
 
     # ------------------------------------------------------------------
     # recipe contract (pure functions)
@@ -556,10 +557,17 @@ class Brain:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *(d for _, d in run)
                 )
-                # stacked runs live under the same budget spirit as the
-                # per-batch cache; bound the map by entry count
-                if len(self._scan_stack_cache) < 64:
+                # byte-capped like the per-batch device cache: under
+                # shuffled batch order the run groupings change every
+                # epoch and an uncapped map would accumulate stale stacks
+                nbytes = sum(
+                    int(np.prod(a.shape)) * a.dtype.itemsize
+                    for a in jax.tree_util.tree_leaves(stacked)
+                )
+                if (self._scan_stack_cache_bytes + nbytes
+                        <= self.device_batch_cache_limit):
                     self._scan_stack_cache[stack_key] = stacked
+                    self._scan_stack_cache_bytes += nbytes
             scan_fn = self._get_scan_fn(sig, K)
             ((self.params, self.opt_states, self.states),
              (ls, lss)) = scan_fn(
