@@ -749,6 +749,7 @@ class Brain:
             if valid_loader is not None:
                 self.training = False
                 self.on_stage_start(Stage.VALID, epoch)
+                tv = time.time()
                 if use_scan:
                     avg = self._eval_epoch_scanned(valid_loader, Stage.VALID)
                 else:
@@ -759,6 +760,8 @@ class Brain:
                         if self.debug and i + 1 >= self.debug_batches:
                             break
                     avg = float(np.mean(vlosses)) if vlosses else 0.0
+                logger.info("epoch %d valid: %.4f (%.1fs)", epoch, avg,
+                            time.time() - tv)
                 self.on_stage_end(Stage.VALID, avg, epoch)
         self.on_fit_end()
 
