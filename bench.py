@@ -39,6 +39,10 @@ HOP_SEC = 0.02
 
 
 def main():
+    from mlvae_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # warm-starts repeat bench runs (cold: ~40 s)
+
     import jax
     import jax.numpy as jnp
     from mlvae_tpu.bench_utils import build_md_vae, synth_batch

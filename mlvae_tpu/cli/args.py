@@ -28,6 +28,8 @@ RUN_OPT_KEYS = {
     "scan_epoch": bool,
     "cache_device_batches": bool,
     "device_batch_cache_mb": int,
+    "compile_cache": bool,
+    "compile_cache_dir": str,
 }
 
 

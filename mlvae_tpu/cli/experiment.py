@@ -41,6 +41,10 @@ def _apply_device_opt(run_opts: Dict) -> None:
 def prepare_experiment(args: List[str], prepare_exp_dir: bool = True) -> Dict:
     hparams_file, run_opts, overrides_str = parse_arguments(args)
     _apply_device_opt(run_opts)
+    if run_opts.get("compile_cache", True):
+        from mlvae_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(run_opts.get("compile_cache_dir"))
 
     overrides = _parse_tagged(overrides_str) if overrides_str else {}
     overrides = overrides or {}
