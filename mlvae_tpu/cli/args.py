@@ -55,6 +55,8 @@ def parse_arguments(args: List[str]) -> Tuple[str, Dict, str]:
                 run_opts[key] = True
                 i += 1
             else:
+                if not has_value:
+                    raise ValueError(f"run option --{key} needs a value")
                 raw = rest[i + 1]
                 run_opts[key] = (raw.lower() in ("1", "true", "yes")) \
                     if typ is bool else typ(raw)

@@ -40,11 +40,18 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         import jax
 
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
         # the default 1 s floor skips exactly the small-but-many programs
         # (per-shape eval steps, short scans) this framework produces
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # LRU-bounded on disk (the per-shape/per-run-length program set
+        # grows with every new corpus geometry; unbounded is a disk leak)
+        jax.config.update("jax_compilation_cache_max_size",
+                          int(os.environ.get("MLVAE_COMPILE_CACHE_MAX_MB",
+                                             "4096")) * 1024 * 1024)
+        # set the directory LAST: if any knob above is missing on this jax
+        # version we bail with the cache fully disabled, never half-enabled
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception as e:  # never let cache plumbing break an entry point
         logger.warning("persistent compile cache unavailable: %s", e)
         return None

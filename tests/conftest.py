@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# keep the suite hermetic: never persist compiled programs into the user's
+# real ~/.cache from unit tests (test_compile_cache.py re-enables it
+# against tmp_path explicitly)
+os.environ["MLVAE_COMPILE_CACHE"] = "0"
 
 import jax  # noqa: E402
 

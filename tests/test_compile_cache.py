@@ -3,36 +3,59 @@
 The functional effect (a second process serving compiles from disk) is
 exercised end to end on hardware; these tests pin down the plumbing: the
 config knobs are set, the directory resolves/creates, the env kill-switch
-works, and the CLI wires it by default with ``--compile_cache False``
-opting out.
+works, and the CLI parses the opt-out.  conftest.py sets
+``MLVAE_COMPILE_CACHE=0`` suite-wide so ordinary tests never persist
+programs; each test here re-enables explicitly and restores the jax config
+it touched.
 """
 import os
 
 import jax
+import pytest
 
 from mlvae_tpu.utils.compile_cache import enable_compile_cache
 
 
-def test_enable_creates_dir_and_sets_config(tmp_path, monkeypatch):
+@pytest.fixture
+def cache_env(monkeypatch):
+    """Clean env + jax-config restore around each cache test."""
+    monkeypatch.delenv("MLVAE_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("MLVAE_COMPILE_CACHE_DIR", raising=False)
+    before = {
+        n: getattr(jax.config, n)
+        for n in ("jax_compilation_cache_dir",
+                  "jax_persistent_cache_min_compile_time_secs",
+                  "jax_persistent_cache_min_entry_size_bytes",
+                  "jax_compilation_cache_max_size")
+    }
+    yield monkeypatch
+    for n, v in before.items():
+        jax.config.update(n, v)
+
+
+def test_enable_creates_dir_and_sets_config(tmp_path, cache_env):
     d = tmp_path / "xcache"
     got = enable_compile_cache(str(d))
     assert got == str(d)
     assert d.is_dir()
     assert jax.config.jax_compilation_cache_dir == str(d)
+    assert jax.config.jax_compilation_cache_max_size > 0
     # a jitted call must write an entry to the directory
     jax.jit(lambda x: x * 2)(3.0)
     assert any(d.iterdir())
 
 
-def test_env_kill_switch(tmp_path, monkeypatch):
-    monkeypatch.setenv("MLVAE_COMPILE_CACHE", "0")
+def test_env_kill_switch(tmp_path, cache_env):
+    cache_env.setenv("MLVAE_COMPILE_CACHE", "0")
+    before = jax.config.jax_compilation_cache_dir
     assert enable_compile_cache(str(tmp_path / "never")) is None
     assert not (tmp_path / "never").exists()
+    assert jax.config.jax_compilation_cache_dir == before
 
 
-def test_env_dir_override(tmp_path, monkeypatch):
+def test_env_dir_override(tmp_path, cache_env):
     d = tmp_path / "from_env"
-    monkeypatch.setenv("MLVAE_COMPILE_CACHE_DIR", str(d))
+    cache_env.setenv("MLVAE_COMPILE_CACHE_DIR", str(d))
     assert enable_compile_cache() == str(d)
     assert d.is_dir()
 
@@ -46,3 +69,10 @@ def test_cli_run_opt_parses():
     )
     assert run_opts["compile_cache"] is False
     assert run_opts["compile_cache_dir"] == "/tmp/x"
+
+
+def test_cli_missing_value_is_clean_error():
+    from mlvae_tpu.cli.args import parse_arguments
+
+    with pytest.raises(ValueError, match="needs a value"):
+        parse_arguments(["cfg.yaml", "--compile_cache_dir"])
