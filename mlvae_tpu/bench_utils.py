@@ -17,9 +17,11 @@ N_CLASSES = N_PHONEMES + 2
 INPUT_SIZE = 120         # 40 mel x 3 (static + delta + delta2)
 
 
-def build_md_vae(n_epochs: int = 3, batch_size: int = 8):
+def build_md_vae(n_epochs: int = 3, batch_size: int = 8, overrides=None):
     """Load the MD_VAE recipe YAML through the config kernel and build the
-    SBModel exactly the way prepare_experiment does."""
+    SBModel exactly the way prepare_experiment does.  ``overrides`` merges
+    extra top-level YAML keys (e.g. shrunken ``*_size`` knobs for
+    compile-bound CPU tests; the bench always runs reference sizes)."""
     from mlvae_tpu.hyperyaml import load_hyperyaml
     from mlvae_tpu.models.MD_VAE.model import SBModel
 
@@ -35,6 +37,7 @@ def build_md_vae(n_epochs: int = 3, batch_size: int = 8):
         "batch_size": batch_size,
         "kld_n_samples": 2249,
     }
+    injected.update(overrides or {})
     with open(model_yaml) as f:
         hparams = load_hyperyaml(f, overrides=injected,
                                  overrides_must_match=False)

@@ -52,6 +52,15 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         # set the directory LAST: if any knob above is missing on this jax
         # version we bail with the cache fully disabled, never half-enabled
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # jax initializes its cache object on first use and then ignores
+        # config changes; reset so this dir takes effect even when a
+        # compile already happened in this process
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
     except Exception as e:  # never let cache plumbing break an entry point
         logger.warning("persistent compile cache unavailable: %s", e)
         return None

@@ -16,9 +16,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# keep the suite hermetic: never persist compiled programs into the user's
-# real ~/.cache from unit tests (test_compile_cache.py re-enables it
-# against tmp_path explicitly)
+# keep the suite hermetic: the CLI entry points under test never persist
+# compiled programs into the user's real cache dir (test_compile_cache.py
+# re-enables that path against tmp_path explicitly) ...
 os.environ["MLVAE_COMPILE_CACHE"] = "0"
 
 import jax  # noqa: E402
@@ -26,6 +26,17 @@ import jax  # noqa: E402
 # The ambient axon (TPU) plugin can win platform selection even with
 # JAX_PLATFORMS set; the config knob is authoritative.
 jax.config.update("jax_platforms", "cpu")
+
+# ... but the SUITE keeps its own persistent compile cache: the end-to-end
+# tests are compile-bound (the fused MD_VAE step alone costs minutes on
+# CPU), and the programs are identical across suite runs.  Keyed by HLO
+# hash, so source changes that alter a program never hit stale entries.
+if os.environ.get("MLVAE_TEST_COMPILE_CACHE", "1").lower() not in ("0", "false"):
+    _cache = os.path.expanduser("~/.cache/mlvae_tpu/test_xla_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_compilation_cache_max_size", 4 * 1024**3)
+    jax.config.update("jax_compilation_cache_dir", _cache)
 
 import pytest  # noqa: E402
 

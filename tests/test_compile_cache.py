@@ -40,8 +40,14 @@ def test_enable_creates_dir_and_sets_config(tmp_path, cache_env):
     assert d.is_dir()
     assert jax.config.jax_compilation_cache_dir == str(d)
     assert jax.config.jax_compilation_cache_max_size > 0
-    # a jitted call must write an entry to the directory
-    jax.jit(lambda x: x * 2)(3.0)
+    # a jitted call must write an entry to the directory; the program must
+    # be unique to this test, or an in-process executable-cache hit would
+    # skip the persistent write (no recompile -> no entry)
+    salt = abs(hash(str(d))) % 1000 + 2
+    import jax.numpy as jnp
+
+    jax.jit(lambda x: (x * salt).sum() + x[::3].prod())(
+        jnp.arange(float(salt)))
     assert any(d.iterdir())
 
 

@@ -31,6 +31,21 @@ class _FakeBatch(dict):
         return [k for k in super().keys() if k != "id"]
 
 
+# shrunken sizes: the parity logic (run grouping, rng sequencing, stack
+# cache, cond-free scan) is size-independent; reference sizes only inflate
+# CPU compile time (~3 min/test)
+SMALL = {
+    "phn_rnn_hidden_size": 64, "boundary_rnn_hidden_size": 64,
+    "rnn_hidden_size": 64, "dec_rnn_hidden_size": 64,
+    "phn_rnn_num_layers": 1, "boundary_rnn_num_layers": 1,
+    "rnn_num_layers": 1, "dec_rnn_num_layers": 1,
+}
+
+
+def _small_md_vae(batch_size=8):
+    return build_md_vae(batch_size=batch_size, overrides=dict(SMALL))
+
+
 def _batches():
     out = []
     # two shape groups: 3 batches of T=32 then 2 of T=48 (duration-sorted
@@ -42,7 +57,7 @@ def _batches():
 
 
 def _run(scanned: bool):
-    model = build_md_vae(batch_size=8)
+    model = _small_md_vae(batch_size=8)
     model.target = Target.VAE
     model.scan_epoch = scanned
     model.init_params()
@@ -77,7 +92,7 @@ def test_scanned_epoch_matches_per_batch_loop():
 
 
 def test_scanned_epoch_reuses_stacked_cache():
-    model = build_md_vae(batch_size=8)
+    model = _small_md_vae(batch_size=8)
     model.target = Target.VAE
     model.scan_epoch = True
     model.init_params()
@@ -95,7 +110,7 @@ def test_scanned_eval_matches_per_batch_loop():
     """Scanned VALID/TEST epochs must produce the same losses and the same
     host-side metric-stat stream as the per-batch loop."""
     def run(scanned):
-        model = build_md_vae(batch_size=8)
+        model = _small_md_vae(batch_size=8)
         model.target = Target.TEST
         model.scan_epoch = scanned
         model.init_params()
