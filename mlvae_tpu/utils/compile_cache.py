@@ -25,6 +25,39 @@ logger = logging.getLogger(__name__)
 _DEFAULT_DIR = "~/.cache/mlvae_tpu/xla_cache"
 
 
+def _repair_orphans(cache_path: Path) -> None:
+    """Drop ``*-cache`` entries missing their ``*-atime`` sidecar.
+
+    jax's size-bounded LRU cache writes the entry then the sidecar under a
+    file lock; a process killed between the two leaves an orphan.  Its
+    eviction pass (``jax._src.lru_cache.LRUCache._evict_if_needed``) then
+    reads the sidecar of EVERY entry, so one orphan makes every future
+    ``put`` in every process fail with FileNotFoundError — the cache stops
+    accruing entries forever.  The orphaned entry itself may be a torn
+    write, so delete it rather than fabricate a sidecar."""
+    try:
+        lock = None
+        try:
+            import filelock
+
+            lock = filelock.FileLock(str(cache_path / ".lockfile"))
+            lock.acquire(timeout=5)
+        except Exception:
+            lock = None  # best effort: still sweep, matching jax's reader
+        try:
+            for entry in cache_path.glob("*-cache"):
+                sidecar = cache_path / (entry.name[:-len("-cache")] + "-atime")
+                if not sidecar.exists():
+                    logger.warning(
+                        "removing torn compile-cache entry %s", entry.name)
+                    entry.unlink(missing_ok=True)
+        finally:
+            if lock is not None:
+                lock.release()
+    except Exception as e:
+        logger.warning("compile-cache orphan sweep failed: %s", e)
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at ``cache_dir`` (default
     ``~/.cache/mlvae_tpu/xla_cache``; ``MLVAE_COMPILE_CACHE_DIR`` overrides).
@@ -40,6 +73,7 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         import jax
 
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        _repair_orphans(Path(cache_dir))
         # the default 1 s floor skips exactly the small-but-many programs
         # (per-shape eval steps, short scans) this framework produces
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -34,6 +34,13 @@ jax.config.update("jax_platforms", "cpu")
 if os.environ.get("MLVAE_TEST_COMPILE_CACHE", "1").lower() not in ("0", "false"):
     _cache = os.path.expanduser("~/.cache/mlvae_tpu/test_xla_cache")
     os.makedirs(_cache, exist_ok=True)
+    # one torn entry (a killed pytest run) would break every future cache
+    # write in the size-bounded LRU cache; sweep before pointing jax at it
+    from pathlib import Path as _Path
+
+    from mlvae_tpu.utils.compile_cache import _repair_orphans
+
+    _repair_orphans(_Path(_cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_compilation_cache_max_size", 4 * 1024**3)
     jax.config.update("jax_compilation_cache_dir", _cache)

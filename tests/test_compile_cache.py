@@ -51,6 +51,34 @@ def test_enable_creates_dir_and_sets_config(tmp_path, cache_env):
     assert any(d.iterdir())
 
 
+def test_orphan_entry_swept_and_writes_recover(tmp_path, cache_env):
+    """A ``*-cache`` file with no ``*-atime`` sidecar (process killed
+    mid-put) breaks every future write of jax's size-bounded LRU cache;
+    enable_compile_cache must sweep it so entries accrue again."""
+    d = tmp_path / "xcache"
+    d.mkdir()
+    (d / "jit_torn-deadbeef-cache").write_bytes(b"torn")
+    # an intact pair must survive the sweep
+    (d / "jit_ok-cafe-cache").write_bytes(b"ok")
+    (d / "jit_ok-cafe-atime").write_bytes((1).to_bytes(8, "little"))
+    assert enable_compile_cache(str(d)) == str(d)
+    assert not (d / "jit_torn-deadbeef-cache").exists()
+    assert (d / "jit_ok-cafe-cache").exists()
+    assert (d / "jit_ok-cafe-atime").exists()
+    # a new compile must now write (cache+atime) without warnings
+    salt = abs(hash(str(d))) % 1000 + 1001
+    import jax.numpy as jnp
+
+    jax.jit(lambda x: (x * salt).sum() - x[1::2].max())(
+        jnp.arange(float(salt)))
+    names = {p.name for p in d.iterdir()}
+    new_caches = {n for n in names
+                  if n.endswith("-cache") and n != "jit_ok-cafe-cache"}
+    assert new_caches
+    for n in new_caches:
+        assert n[:-len("-cache")] + "-atime" in names
+
+
 def test_env_kill_switch(tmp_path, cache_env):
     cache_env.setenv("MLVAE_COMPILE_CACHE", "0")
     before = jax.config.jax_compilation_cache_dir
