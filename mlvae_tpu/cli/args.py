@@ -30,6 +30,7 @@ RUN_OPT_KEYS = {
     "device_batch_cache_mb": int,
     "compile_cache": bool,
     "compile_cache_dir": str,
+    "async_ckpt": bool,
 }
 
 

@@ -89,6 +89,8 @@ class Brain:
         self.run_opts = AttrDict(run_opts or {})
         self.checkpointer = checkpointer
         self.label_encoder = label_encoder
+        if checkpointer is not None and "async_ckpt" in (run_opts or {}):
+            checkpointer.async_save = bool(run_opts["async_ckpt"])
 
         self.debug = bool(self.run_opts.get("debug", False))
         self.debug_batches = int(self.run_opts.get("debug_batches", 2))
@@ -422,7 +424,9 @@ class Brain:
             self.opt_states = replicate(self.mesh, self.opt_states)
 
     def on_fit_end(self):
-        pass
+        if self.checkpointer is not None and hasattr(self.checkpointer,
+                                                     "flush"):
+            self.checkpointer.flush()
 
     def on_stage_start(self, stage: Stage, epoch=None):
         self.stats_loggers = {}

@@ -12,14 +12,20 @@ framework-specific serialization, loadable from any host.
 """
 from __future__ import annotations
 
+import atexit
 import json
+import logging
 import shutil
+import threading
 import time
+from collections import deque
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import numpy as np
 import jax
+
+logger = logging.getLogger(__name__)
 
 
 def _flatten(tree) -> Dict[str, np.ndarray]:
@@ -69,7 +75,7 @@ class Checkpointer:
     """
 
     def __init__(self, checkpoints_dir, recoverables: Optional[Dict] = None,
-                 backend: str = "npz", **kwargs):
+                 backend: str = "npz", async_save: bool = False, **kwargs):
         self.checkpoints_dir = Path(checkpoints_dir)
         if backend not in ("npz", "orbax"):
             raise ValueError(f"unknown checkpoint backend: {backend!r} "
@@ -78,6 +84,14 @@ class Checkpointer:
         # YAML-declared recoverables (module specs) are kept for parity and
         # introspection; live state pytrees are supplied by the Brain.
         self.recoverables = dict(recoverables or {})
+        # async mode: device->host fetch + disk write happen on a worker
+        # thread, off the training critical path (see save_and_keep_only)
+        self.async_save = bool(async_save)
+        self._queue: deque = deque()
+        self._cv = threading.Condition()
+        self._worker: Optional[threading.Thread] = None
+        self._worker_error: Optional[BaseException] = None
+        self._inflight_meta: Optional[Dict[str, Any]] = None
 
     def add_recoverable(self, name: str, obj):
         self.recoverables[name] = obj
@@ -96,6 +110,7 @@ class Checkpointer:
 
     def find_checkpoint(self, max_key: Optional[str] = None,
                         min_key: Optional[str] = None) -> Optional[Checkpoint]:
+        self.flush()  # selection must see every pending async save
         ckpts = self.list_checkpoints()
         if not ckpts:
             return None
@@ -115,6 +130,9 @@ class Checkpointer:
         name = f"CKPT-{time.strftime('%Y-%m-%d_%H-%M-%S')}-{int(time.time()*1e6)%1000000:06d}"
         path = self.checkpoints_dir / name
         path.mkdir(parents=True, exist_ok=True)
+        # one batched device->host fetch for the whole state tree (per-leaf
+        # np.asarray would serialize one transfer round trip per array)
+        state = jax.device_get(state)
         for rec_name, tree in state.items():
             if self.backend == "orbax":
                 import orbax.checkpoint as ocp
@@ -135,7 +153,57 @@ class Checkpointer:
         """Save, then delete every checkpoint that is neither among the best
         ``num_to_keep`` under any of the given keys nor (with
         ``keep_recent``, SpeechBrain's default) the newest — the newest is
-        what fit-resume restarts from."""
+        what fit-resume restarts from.
+
+        With ``async_save`` the device->host fetch and disk write run on a
+        worker thread so training continues immediately; a queued save that
+        a newer request supersedes is skipped UNLESS it is (provably) among
+        the best ``num_to_keep`` under one of its metric keys — best-by-key
+        checkpoints always persist, and the final save of a fit always
+        persists (``flush`` at fit end).  The tradeoff is mid-run
+        crash-resume granularity, not selection correctness."""
+        meta = dict(meta or {})
+        meta.setdefault("unixtime", time.time())
+        if not self.async_save:
+            self._save_and_prune(state, meta, max_keys, min_keys,
+                                 num_to_keep, keep_recent)
+            return
+        self._raise_worker_error()
+        with self._cv:
+            if self._queue:
+                # supersede: drop queued saves that can no longer be kept
+                known = [m for (_, m, *_rest) in self._queue] + [meta]
+                if self._inflight_meta is not None:
+                    known.append(self._inflight_meta)
+                known += [c.meta for c in self.list_checkpoints()]
+                self._queue = deque(
+                    item for item in self._queue
+                    if self._possibly_kept(item[1], item[2], item[3],
+                                           item[4], known))
+            self._queue.append(
+                (state, meta, max_keys, min_keys, num_to_keep, keep_recent))
+            self._ensure_worker()
+            self._cv.notify_all()
+
+    @staticmethod
+    def _possibly_kept(meta, max_keys, min_keys, num_to_keep, known) -> bool:
+        """Could a save with this meta still be retained once the newer
+        requests in ``known`` have persisted?  Conservative: True unless
+        ``num_to_keep`` strictly-better metas exist under EVERY key."""
+        for key, better in ([(k, lambda a, b: a > b) for k in max_keys or []]
+                            + [(k, lambda a, b: a < b)
+                               for k in min_keys or []]):
+            if key not in meta:
+                continue
+            n_better = sum(1 for m in known
+                           if m is not meta and key in m
+                           and better(m[key], meta[key]))
+            if n_better < num_to_keep:
+                return True
+        return False
+
+    def _save_and_prune(self, state, meta, max_keys, min_keys,
+                        num_to_keep, keep_recent):
         self.save_checkpoint(state, meta)
         keep = set()
         ckpts = self.list_checkpoints()
@@ -153,6 +221,53 @@ class Checkpointer:
         for c in ckpts:
             if str(c.path) not in keep:
                 shutil.rmtree(c.path, ignore_errors=True)
+
+    # -- async worker -------------------------------------------------------------
+    def _ensure_worker(self):
+        if self._worker is None or not self._worker.is_alive():
+            self._worker = threading.Thread(
+                target=self._worker_loop, daemon=True, name="mlvae-ckpt")
+            self._worker.start()
+            atexit.register(self._flush_best_effort)
+
+    def _worker_loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                item = self._queue.popleft()
+                self._inflight_meta = item[1]
+            try:
+                self._save_and_prune(*item)
+            except BaseException as e:  # surfaced on next flush/save
+                logger.error("async checkpoint save failed: %s", e)
+                with self._cv:
+                    self._worker_error = e
+            finally:
+                with self._cv:
+                    self._inflight_meta = None
+                    self._cv.notify_all()
+
+    def flush(self):
+        """Block until every queued async save has persisted; re-raise any
+        worker failure.  No-op in sync mode."""
+        if self._worker is not None:
+            with self._cv:
+                while self._queue or self._inflight_meta is not None:
+                    self._cv.wait()
+        self._raise_worker_error()
+
+    def _flush_best_effort(self):
+        try:
+            self.flush()
+        except BaseException as e:
+            logger.error("checkpoint flush at exit failed: %s", e)
+
+    def _raise_worker_error(self):
+        with self._cv:
+            err, self._worker_error = self._worker_error, None
+        if err is not None:
+            raise RuntimeError("async checkpoint save failed") from err
 
     # -- load --------------------------------------------------------------------
     def load_checkpoint(self, ckpt: Checkpoint,

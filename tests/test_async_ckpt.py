@@ -1,0 +1,114 @@
+"""Async checkpointing: device->host fetch + disk write off the training
+critical path (``--async_ckpt``).  The reference saves synchronously after
+every VALID stage (``md_model.py:151-164``); through a device tunnel that
+fetch dominates wall clock for large models (wav2vec2 trunk: GBs/epoch), so
+the framework offers a worker-thread saver with supersede-drop — best-by-key
+and final checkpoints always persist."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from mlvae_tpu.training.checkpointer import Checkpointer
+
+
+def _state(v):
+    return {"params": {"w": np.full((4, 4), float(v), np.float32)}}
+
+
+def test_async_saves_persist_and_prune_like_sync(tmp_path):
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    # ascending then descending F1: best must survive pruning
+    for epoch, f1 in enumerate([10.0, 30.0, 20.0], start=1):
+        ck.save_and_keep_only(_state(epoch), meta={"F1": f1, "epoch": epoch},
+                              max_keys=["F1"])
+    ck.flush()
+    best = ck.find_checkpoint(max_key="F1")
+    assert best.meta["F1"] == 30.0
+    # newest (epoch 3) also kept for resume
+    newest = ck.find_checkpoint()
+    assert newest.meta["epoch"] == 3
+    # restored contents match what was saved
+    restored = ck.load_checkpoint(best, templates=_state(0))
+    assert restored["params"]["w"][0, 0] == 2.0  # epoch 2 had F1=30
+
+
+def test_supersede_drop_never_loses_best(tmp_path):
+    """Stall the worker so every save queues, then verify the supersede
+    logic keeps the best-by-key request even when newer ones arrive."""
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    gate = threading.Event()
+    orig = ck._save_and_prune
+
+    def slow(*a):
+        gate.wait(timeout=10)
+        orig(*a)
+
+    ck._save_and_prune = slow
+    ck.save_and_keep_only(_state(1), meta={"F1": 5.0, "epoch": 1},
+                          max_keys=["F1"])
+    time.sleep(0.2)  # let the worker pick up save 1 (now in flight)
+    # queue three more: epoch 2 is the best -> must persist; epoch 3 is
+    # dominated by 2 and superseded by 4 -> droppable
+    ck.save_and_keep_only(_state(2), meta={"F1": 50.0, "epoch": 2},
+                          max_keys=["F1"])
+    ck.save_and_keep_only(_state(3), meta={"F1": 7.0, "epoch": 3},
+                          max_keys=["F1"])
+    ck.save_and_keep_only(_state(4), meta={"F1": 6.0, "epoch": 4},
+                          max_keys=["F1"])
+    with ck._cv:
+        queued_epochs = [m["epoch"] for (_, m, *_r) in ck._queue]
+    assert 2 in queued_epochs          # best-by-key kept
+    assert 3 not in queued_epochs      # dominated + superseded -> dropped
+    assert queued_epochs[-1] == 4      # latest request always queued
+    gate.set()
+    ck.flush()
+    assert ck.find_checkpoint(max_key="F1").meta["F1"] == 50.0
+    assert ck.find_checkpoint().meta["epoch"] == 4  # newest kept
+
+
+def test_no_keys_supersede_drops_intermediates(tmp_path):
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    gate = threading.Event()
+    orig = ck._save_and_prune
+    ck._save_and_prune = lambda *a: (gate.wait(timeout=10), orig(*a))
+    for epoch in range(1, 5):
+        ck.save_and_keep_only(_state(epoch), meta={"epoch": epoch})
+    with ck._cv:
+        queued_epochs = [m["epoch"] for (_, m, *_r) in ck._queue]
+    # keyless saves: only the newest queued request matters
+    assert queued_epochs[-1] == 4 and len(queued_epochs) <= 2
+    gate.set()
+    ck.flush()
+    assert ck.find_checkpoint().meta["epoch"] == 4
+
+
+def test_worker_error_surfaces_on_flush(tmp_path):
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    ck._save_and_prune = lambda *a: (_ for _ in ()).throw(
+        OSError("disk full"))
+    ck.save_and_keep_only(_state(1), meta={"epoch": 1})
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        ck.flush()
+
+
+def test_find_checkpoint_drains_pending(tmp_path):
+    """evaluate-time recall must see saves still in the queue."""
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    ck.save_and_keep_only(_state(1), meta={"F1": 9.0, "epoch": 1},
+                          max_keys=["F1"])
+    # no explicit flush: find_checkpoint itself must drain
+    assert ck.find_checkpoint(max_key="F1").meta["epoch"] == 1
+
+
+def test_run_opt_enables_async(tmp_path):
+    from mlvae_tpu.cli.args import parse_arguments
+    _, run_opts, _ = parse_arguments(
+        ["cfg.yaml", "--async_ckpt", "True"])
+    assert run_opts["async_ckpt"] is True
+    from mlvae_tpu.training.brain import Brain
+    ck = Checkpointer(tmp_path / "ckpts")
+    assert ck.async_save is False
+    Brain(modules={}, hparams={}, run_opts=run_opts, checkpointer=ck)
+    assert ck.async_save is True
