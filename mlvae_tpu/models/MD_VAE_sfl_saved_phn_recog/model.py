@@ -60,6 +60,16 @@ class SBModel(MD_VAE_sfl):
         feature length."""
         feats, feat_lens = batch["feat"]
         B, T = feats.shape[0], feats.shape[1]
+        missing = [u for u in batch["id"]
+                   if u not in self.saved_phn_recog_outs]
+        if missing:
+            raise KeyError(
+                f"no saved recognizer outputs for utterances {missing[:5]} "
+                f"(have {len(self.saved_phn_recog_outs)}); the dump from "
+                "w2v_CRDNN_CTC_cnncl must cover every set this recipe "
+                "touches — produce it with cli.test_on_three_sets (its TEST "
+                "pass over train/valid/test accumulates all utterances), "
+                "not cli.test")
         outs = [self.saved_phn_recog_outs[utt_id] for utt_id in batch["id"]]
         N = outs[0].shape[1]
         padded = np.zeros((B, T, N), np.float32)

@@ -424,9 +424,11 @@ class Brain:
             self.opt_states = replicate(self.mesh, self.opt_states)
 
     def on_fit_end(self):
-        if self.checkpointer is not None and hasattr(self.checkpointer,
-                                                     "flush"):
-            self.checkpointer.flush()
+        if self.checkpointer is not None:
+            if hasattr(self.checkpointer, "close"):
+                self.checkpointer.close()  # flush + stop the save worker
+            elif hasattr(self.checkpointer, "flush"):
+                self.checkpointer.flush()
 
     def on_stage_start(self, stage: Stage, epoch=None):
         self.stats_loggers = {}
@@ -708,6 +710,24 @@ class Brain:
         profile = bool(self.run_opts.get("profile", False))
         self.step_timer = StepTimer()
 
+        try:
+            self._fit_epochs(epoch_counter, train_loader, valid_loader,
+                             profile)
+        except BaseException:
+            # pending async checkpoint saves must still persist when fit
+            # dies mid-run (sync-mode durability); never mask the original
+            # failure with a flush error
+            try:
+                self.on_fit_end()
+            except Exception:
+                logger.exception("on_fit_end after fit failure")
+            raise
+        else:
+            self.on_fit_end()
+
+    def _fit_epochs(self, epoch_counter, train_loader, valid_loader,
+                    profile):
+        from mlvae_tpu.utils.profiling import trace
         for epoch in epoch_counter:
             self.training = True
             self.on_stage_start(Stage.TRAIN, epoch)
@@ -767,7 +787,6 @@ class Brain:
                 logger.info("epoch %d valid: %.4f (%.1fs)", epoch, avg,
                             time.time() - tv)
                 self.on_stage_end(Stage.VALID, avg, epoch)
-        self.on_fit_end()
 
     def evaluate(self, test_set, max_key=None, min_key=None,
                  test_loader_kwargs=None, progressbar=None):

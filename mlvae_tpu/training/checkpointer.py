@@ -13,11 +13,14 @@ framework-specific serialization, loadable from any host.
 from __future__ import annotations
 
 import atexit
+import functools
 import json
 import logging
+import os
 import shutil
 import threading
 import time
+import weakref
 from collections import deque
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -92,6 +95,13 @@ class Checkpointer:
         self._worker: Optional[threading.Thread] = None
         self._worker_error: Optional[BaseException] = None
         self._inflight_meta: Optional[Dict[str, Any]] = None
+        # supersede-dropped requests, held (host RAM) until the newer save
+        # that justified each drop has durably persisted; re-enqueued if the
+        # worker's save fails, so async never loses a state sync would have
+        # written (review finding: drop-then-superseder-fails)
+        self._dropped: List[tuple] = []
+        self._closed = False
+        self._atexit_cb = None
 
     def add_recoverable(self, name: str, obj):
         self.recoverables[name] = obj
@@ -103,9 +113,16 @@ class Checkpointer:
             return out
         for d in sorted(self.checkpoints_dir.iterdir()):
             meta_path = d / "meta.json"
-            if d.is_dir() and meta_path.exists():
-                with open(meta_path) as f:
-                    out.append(Checkpoint(d, json.load(f)))
+            try:
+                if d.is_dir() and meta_path.exists():
+                    with open(meta_path) as f:
+                        out.append(Checkpoint(d, json.load(f)))
+            except (FileNotFoundError, NotADirectoryError,
+                    json.JSONDecodeError):
+                # pruned concurrently by the async worker, or a torn entry
+                # left by a killed process (meta.json is written via atomic
+                # rename, so a live writer can never produce a torn read)
+                continue
         return out
 
     def find_checkpoint(self, max_key: Optional[str] = None,
@@ -140,8 +157,13 @@ class Checkpointer:
                     ckpter.save((path / f"{rec_name}.orbax").resolve(), tree)
             else:
                 np.savez(path / f"{rec_name}.npz", **_flatten(tree))
-        with open(path / "meta.json", "w") as f:
+        # meta.json is the completeness marker (written last, after every
+        # blob) and must appear atomically: concurrent list_checkpoints()
+        # from the training thread must see either nothing or valid JSON
+        tmp = path / "meta.json.tmp"
+        with open(tmp, "w") as f:
             json.dump(_jsonable(meta), f, indent=2)
+        os.replace(tmp, path / "meta.json")
         return Checkpoint(path, meta)
 
     def save_and_keep_only(self, state: Dict[str, Any],
@@ -155,13 +177,19 @@ class Checkpointer:
         ``keep_recent``, SpeechBrain's default) the newest — the newest is
         what fit-resume restarts from.
 
-        With ``async_save`` the device->host fetch and disk write run on a
-        worker thread so training continues immediately; a queued save that
-        a newer request supersedes is skipped UNLESS it is (provably) among
-        the best ``num_to_keep`` under one of its metric keys — best-by-key
-        checkpoints always persist, and the final save of a fit always
-        persists (``flush`` at fit end).  The tradeoff is mid-run
-        crash-resume granularity, not selection correctness."""
+        With ``async_save`` the state is staged to host RAM here (one
+        batched device->host fetch — queued snapshots never pin device HBM)
+        and the disk write runs on a worker thread so training continues
+        immediately.  A queued save that a newer request supersedes is
+        skipped UNLESS it is (provably) among the best ``num_to_keep`` under
+        one of its metric keys; a skipped save is *held* until the newer
+        saves that justified the skip have durably persisted, and is
+        re-enqueued if a worker save fails — so async never loses a state
+        sync mode would have written.  Best-by-key checkpoints always
+        persist, and the final save of a fit always persists (``flush`` at
+        fit end).  The tradeoff is mid-run crash-resume granularity plus
+        host RAM for at most a few staged snapshots, not durability or
+        selection correctness."""
         meta = dict(meta or {})
         meta.setdefault("unixtime", time.time())
         if not self.async_save:
@@ -169,17 +197,32 @@ class Checkpointer:
                                  num_to_keep, keep_recent)
             return
         self._raise_worker_error()
+        # stage to host on the caller: after this, the snapshot lives in
+        # host RAM only, so queued/in-flight saves cost zero device HBM
+        state = jax.device_get(state)
         with self._cv:
             if self._queue:
-                # supersede: drop queued saves that can no longer be kept
+                # supersede: set aside queued saves that can no longer be
+                # kept once the newer requests persist (held in _dropped
+                # until that durably happens — see _worker_main)
                 known = [m for (_, m, *_rest) in self._queue] + [meta]
+                inflight_t = None
                 if self._inflight_meta is not None:
                     known.append(self._inflight_meta)
-                known += [c.meta for c in self.list_checkpoints()]
-                self._queue = deque(
-                    item for item in self._queue
+                    inflight_t = self._inflight_meta.get("unixtime")
+                # skip the in-flight save's own on-disk meta (its write may
+                # already have landed) so it isn't counted twice as "better"
+                known += [c.meta for c in self.list_checkpoints()
+                          if inflight_t is None
+                          or c.meta.get("unixtime") != inflight_t]
+                new_queue: deque = deque()
+                for item in self._queue:
                     if self._possibly_kept(item[1], item[2], item[3],
-                                           item[4], known))
+                                           item[4], known):
+                        new_queue.append(item)
+                    else:
+                        self._dropped.append(item)
+                self._queue = new_queue
             self._queue.append(
                 (state, meta, max_keys, min_keys, num_to_keep, keep_recent))
             self._ensure_worker()
@@ -225,37 +268,55 @@ class Checkpointer:
     # -- async worker -------------------------------------------------------------
     def _ensure_worker(self):
         if self._worker is None or not self._worker.is_alive():
+            # the thread and the atexit hook hold only a weakref: an
+            # abandoned Checkpointer stays collectable, and its worker
+            # exits on the next poll once the instance is gone (or after
+            # close())
+            ref = weakref.ref(self)
             self._worker = threading.Thread(
-                target=self._worker_loop, daemon=True, name="mlvae-ckpt")
+                target=_worker_main, args=(ref,), daemon=True,
+                name="mlvae-ckpt")
             self._worker.start()
-            atexit.register(self._flush_best_effort)
-
-    def _worker_loop(self):
-        while True:
-            with self._cv:
-                while not self._queue:
-                    self._cv.wait()
-                item = self._queue.popleft()
-                self._inflight_meta = item[1]
-            try:
-                self._save_and_prune(*item)
-            except BaseException as e:  # surfaced on next flush/save
-                logger.error("async checkpoint save failed: %s", e)
-                with self._cv:
-                    self._worker_error = e
-            finally:
-                with self._cv:
-                    self._inflight_meta = None
-                    self._cv.notify_all()
+            if self._atexit_cb is None:
+                self._atexit_cb = functools.partial(_flush_at_exit, ref)
+                atexit.register(self._atexit_cb)
 
     def flush(self):
         """Block until every queued async save has persisted; re-raise any
         worker failure.  No-op in sync mode."""
         if self._worker is not None:
             with self._cv:
-                while self._queue or self._inflight_meta is not None:
-                    self._cv.wait()
+                while True:
+                    while self._queue or self._inflight_meta is not None:
+                        self._cv.wait()
+                    if self._dropped and self._worker_error is None:
+                        # safety net: anything still held (its superseding
+                        # save never durably justified the drop, e.g. it
+                        # was itself pruned in a metric tie) persists now
+                        self._queue.extend(self._dropped)
+                        self._dropped = []
+                        self._cv.notify_all()
+                        continue
+                    break
         self._raise_worker_error()
+
+    def close(self):
+        """Flush pending saves, stop the worker thread, and drop the atexit
+        registration.  Idempotent; the Checkpointer stays usable in sync
+        mode afterwards (a later async save restarts the worker)."""
+        try:
+            self.flush()
+        finally:
+            with self._cv:
+                self._closed = True
+                self._cv.notify_all()
+            if self._atexit_cb is not None:
+                atexit.unregister(self._atexit_cb)
+                self._atexit_cb = None
+            if self._worker is not None:
+                self._worker.join(timeout=5)
+                self._worker = None
+            self._closed = False
 
     def _flush_best_effort(self):
         try:
@@ -299,6 +360,56 @@ class Checkpointer:
         if ckpt is None:
             return None, None
         return self.load_checkpoint(ckpt, templates), ckpt
+
+
+def _worker_main(ref: "weakref.ref[Checkpointer]"):
+    """Async save worker.  Holds only a weakref to the Checkpointer so the
+    instance can be garbage-collected; polls with a timeout and exits when
+    the owner is gone or closed with an empty queue."""
+    while True:
+        self = ref()
+        if self is None:
+            return
+        cv = self._cv
+        with cv:
+            if not self._queue:
+                if self._closed:
+                    return
+                del self  # don't pin the instance while parked
+                cv.wait(timeout=0.5)
+                continue
+            item = self._queue.popleft()
+            self._inflight_meta = item[1]
+        try:
+            self._save_and_prune(*item)
+            if self._dropped:
+                # a held drop becomes final only once the persisted
+                # checkpoints alone justify it; until then keep holding
+                disk = [c.meta for c in self.list_checkpoints()]
+                with cv:
+                    self._dropped = [
+                        d for d in self._dropped
+                        if self._possibly_kept(d[1], d[2], d[3], d[4], disk)]
+        except BaseException as e:  # surfaced on next flush/save
+            logger.error("async checkpoint save failed: %s", e)
+            with cv:
+                self._worker_error = e
+                if self._dropped:
+                    # the failed save may have been the justification for
+                    # these drops — save them after all (sync-mode
+                    # durability: the previous best always persists)
+                    self._queue.extendleft(reversed(self._dropped))
+                    self._dropped = []
+        finally:
+            with cv:
+                self._inflight_meta = None
+                cv.notify_all()
+
+
+def _flush_at_exit(ref: "weakref.ref[Checkpointer]"):
+    self = ref()
+    if self is not None:
+        self._flush_best_effort()
 
 
 def _jsonable(obj):

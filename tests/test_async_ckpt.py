@@ -112,3 +112,84 @@ def test_run_opt_enables_async(tmp_path):
     assert ck.async_save is False
     Brain(modules={}, hparams={}, run_opts=run_opts, checkpointer=ck)
     assert ck.async_save is True
+
+
+def test_drop_survives_superseder_failure(tmp_path):
+    """A save dropped because a newer queued request superseded it must be
+    re-enqueued (and persist) if that newer save then fails on disk —
+    async must never lose a state sync mode would have written."""
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    gate = threading.Event()
+    orig = ck._save_and_prune
+
+    def failing(state, meta, *rest):
+        gate.wait(timeout=10)
+        if meta.get("epoch") == 3:
+            raise OSError("disk full")
+        orig(state, meta, *rest)
+
+    ck._save_and_prune = failing
+    ck.save_and_keep_only(_state(1), meta={"F1": 5.0, "epoch": 1},
+                          max_keys=["F1"])
+    time.sleep(0.2)  # worker picks up save 1 (stalled at the gate)
+    ck.save_and_keep_only(_state(2), meta={"F1": 40.0, "epoch": 2},
+                          max_keys=["F1"])
+    # epoch 3 beats 2 -> 2 is supersede-dropped (held, not discarded)
+    ck.save_and_keep_only(_state(3), meta={"F1": 50.0, "epoch": 3},
+                          max_keys=["F1"])
+    with ck._cv:
+        assert [m["epoch"] for (_, m, *_r) in ck._queue] == [3]
+        assert [m["epoch"] for (_, m, *_r) in ck._dropped] == [2]
+    gate.set()
+    # epoch 3's write fails -> epoch 2 must be re-enqueued and persisted
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        ck.flush()
+    best = ck.find_checkpoint(max_key="F1")
+    assert best.meta["epoch"] == 2 and best.meta["F1"] == 40.0
+
+
+def test_enqueue_stages_state_to_host(tmp_path):
+    """Queued snapshots must live in host RAM (plain numpy), not as device
+    arrays pinning HBM while the worker catches up."""
+    import jax
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    gate = threading.Event()
+    orig = ck._save_and_prune
+    ck._save_and_prune = lambda *a: (gate.wait(timeout=10), orig(*a))
+    dev_state = {"params": {"w": jax.numpy.ones((4, 4))}}
+    ck.save_and_keep_only(dev_state, meta={"epoch": 1})
+    ck.save_and_keep_only(dev_state, meta={"epoch": 2})
+    with ck._cv:
+        queued_leaves = [leaf for (s, *_r) in ck._queue
+                         for leaf in jax.tree_util.tree_leaves(s)]
+    assert queued_leaves and all(
+        isinstance(l, np.ndarray) for l in queued_leaves)
+    gate.set()
+    ck.flush()
+
+
+def test_close_stops_worker_and_stays_usable(tmp_path):
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    ck.save_and_keep_only(_state(1), meta={"epoch": 1})
+    ck.close()
+    assert ck._worker is None or not ck._worker.is_alive()
+    assert ck.find_checkpoint().meta["epoch"] == 1
+    # still usable after close: a new async save restarts the worker
+    ck.save_and_keep_only(_state(2), meta={"epoch": 2})
+    ck.flush()
+    assert ck.find_checkpoint().meta["epoch"] == 2
+    ck.close()
+
+
+def test_list_checkpoints_skips_torn_entries(tmp_path):
+    """A killed process can leave a checkpoint dir without (or with a
+    partial) meta.json; enumeration must skip it, not crash."""
+    ck = Checkpointer(tmp_path / "ckpts")
+    ck.save_and_keep_only(_state(1), meta={"epoch": 1})
+    torn = tmp_path / "ckpts" / "CKPT-torn"
+    torn.mkdir()
+    (torn / "params.npz").write_bytes(b"partial")
+    torn2 = tmp_path / "ckpts" / "CKPT-torn2"
+    torn2.mkdir()
+    (torn2 / "meta.json").write_text("{invalid json")
+    assert [c.meta["epoch"] for c in ck.list_checkpoints()] == [1]
