@@ -98,8 +98,13 @@ int32_t mlvae_kaldi_fbank(const float* wave, int32_t num_samples,
     double mean = 0.0;
     for (int i = 0; i < window; ++i) {
       long j = first + i;
-      if (j < 0) j = -j - 1;                       // reflect left
-      if (j >= num_samples) j = 2L * num_samples - 1 - j;  // reflect right
+      // Kaldi iterates the reflection until in range (matters for
+      // utterances shorter than half a window); mirrors the closed form in
+      // ops/fbank.kaldi_frame_gather and frontend_ref._reflect_index
+      while (j < 0 || j >= num_samples) {
+        if (j < 0) j = -j - 1;                        // reflect left
+        else j = 2L * num_samples - 1 - j;            // reflect right
+      }
       frame[i] = wave[j];
       mean += frame[i];
     }

@@ -38,19 +38,24 @@ class WaveAugment:
 
     def __call__(self, waves, lens=None):
         waves = np.atleast_2d(np.asarray(waves, np.float32))
+        if lens is None:
+            lens = np.full((waves.shape[0],), waves.shape[1], np.int64)
+        lens = np.atleast_1d(np.asarray(lens)).astype(np.int64)
         out = []
-        for wave in waves:
+        for wave, n in zip(waves, lens):
+            n = int(n)
             speed = self.speeds[self._rs.randint(len(self.speeds))]
-            aug = self._speed(wave, speed)
+            aug = self._speed(wave[:n], speed)
             # pad/trim back to the original length so frame-level labels
             # stay aligned (the reference asserts matching feat lengths)
-            if len(aug) < len(wave):
-                aug = np.pad(aug, (0, len(wave) - len(aug)))
+            if len(aug) < n:
+                aug = np.pad(aug, (0, n - len(aug)))
             else:
-                aug = aug[: len(wave)]
+                aug = aug[:n]
+            # SNR calibrated over the true samples only; padding stays zero
             power = np.mean(aug ** 2) + 1e-12
             noise_power = power / (10 ** (self.noise_snr_db / 10))
-            aug = aug + self._rs.randn(len(aug)).astype(np.float32) * \
+            aug = aug + self._rs.randn(n).astype(np.float32) * \
                 np.sqrt(noise_power)
-            out.append(aug)
+            out.append(np.pad(aug, (0, waves.shape[1] - n)))
         return np.stack(out)

@@ -66,8 +66,12 @@ def md_viterbi_batch(
 
     Note ``log_p_b[..., 0]`` is log p(boundary) and ``[..., 1]`` is
     log p(no boundary) — the *hold* transition uses index 0 and the *switch*
-    transition uses index 1, mirroring the reference's stacking of
-    ``[boundary_v, 1 - boundary_v]``.
+    transition uses index 1.  That looks semantically inverted (the detector
+    BCE-trains ``boundary_v`` against boundary indicators), but it is
+    deliberate parity with the reference, whose hold transition scores
+    ``log_p_b_i[t, 0]`` over ``p_b = stack([boundary_v, 1-boundary_v])``
+    (reference ``decode_utils.py:437-465``); all three implementations here
+    (device scan, numpy oracle, C++ decoder) keep that exact convention.
     """
     B, T, N, _ = log_p_yx.shape
     L = y.shape[1]
@@ -242,13 +246,13 @@ def decode_plvl_md_lbl_seqs_full(
     ``pi_logits``), same three lists out — but decoding runs batched on
     device instead of one joblib process per utterance.
     """
+    from mlvae_tpu.utils.tensor import abs_lengths
+
     phn_out = jnp.asarray(predictions["phn_recog_out"])
     B, T, N = phn_out.shape
-    t_lens = jnp.round(jnp.asarray(feat_lens) * T).astype(jnp.int32)
+    t_lens = abs_lengths(jnp.asarray(feat_lens), T)
     L = plvl_cnnl_seqs.shape[1]
-    l_lens = jnp.round(
-        jnp.asarray(plvl_cnnl_seq_lens) * L
-    ).astype(jnp.int32)
+    l_lens = abs_lengths(jnp.asarray(plvl_cnnl_seq_lens), L)
 
     p = jax.nn.sigmoid(phn_out)
     log_p_yx = clamped_log(jnp.stack([p, 1 - p], axis=3))

@@ -89,8 +89,13 @@ def kaldi_frame_gather(waves, lengths, max_frames: int, shift: int,
     j = t * shift + shift // 2 - window // 2 + jnp.arange(window)[None, :]
     j = jnp.broadcast_to(j, (B, max_frames, window))
     L = lengths[:, None, None]
-    j = jnp.where(j < 0, -j - 1, j)
-    j = jnp.where(j >= L, 2 * L - 1 - j, j)
+    # Kaldi reflects iteratively (while s<0 or s>=L: s = s<0 ? -s-1 : 2L-1-s),
+    # which is periodic with period 2L; the closed form below matches it for
+    # every index, including utterances shorter than half a window where a
+    # single reflection pass would leave out-of-range indices
+    two_l = jnp.maximum(2 * L, 1)
+    m = jnp.mod(j, two_l)
+    j = jnp.where(m >= L, 2 * L - 1 - m, m)
     j = jnp.clip(j, 0, Lmax - 1)
     return jnp.take_along_axis(
         waves[:, None, :], j.reshape(B, -1)[:, None, :], axis=2
@@ -156,7 +161,11 @@ def deltas_batch(feats, n_frames, order: int = 2, window: int = 2):
             minus = jnp.take_along_axis(prev, dn[..., None], axis=1)
             acc = acc + k * (plus - minus)
         outs.append(acc / denom)
-    return jnp.concatenate(outs, axis=-1)
+    # re-mask: for padding frames t >= n_frames the clamped +k index reads a
+    # real frame while the -k index reads a zero, leaving nonzero garbage
+    # deltas in the padding region otherwise
+    valid = (idx < n_frames[:, None])[..., None]
+    return jnp.concatenate(outs, axis=-1) * valid
 
 
 def cmvn_apply(feats, mean, std):

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mlvae_tpu.ops import frontend_ref as ref
 from mlvae_tpu.ops.fbank import (kaldi_frame_counts, kaldi_frame_gather,
-                                 _dft_matrices)
+                                 _dft_matrices, _kaldi_consts)
 
 _BLOCK_T = 128
 
@@ -105,10 +105,10 @@ def kaldi_fbank_pallas(
     frames2d = jnp.pad(frames.reshape(rows, padded),
                        ((0, rows_pad - rows), (0, 0)))
 
-    # window vector, zero-extended to the padded width
+    # window vector (single source of truth: fbank._kaldi_consts),
+    # zero-extended to the padded width
     win = np.zeros((padded,), np.float32)
-    n = np.arange(window)
-    win[:window] = 0.54 - 0.46 * np.cos(2 * np.pi * n / (window - 1))
+    win[:window] = _kaldi_consts(sr, window, n_mels)[3]
     win2d = jnp.asarray(np.broadcast_to(win, (_BLOCK_T, padded)))
 
     n_bins = padded // 2 + 1

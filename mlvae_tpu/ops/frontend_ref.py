@@ -84,9 +84,11 @@ def kaldi_num_frames(num_samples: int, shift: int) -> int:
 
 
 def _reflect_index(j: np.ndarray, length: int) -> np.ndarray:
-    j = np.where(j < 0, -j - 1, j)
-    j = np.where(j >= length, 2 * length - 1 - j, j)
-    return j
+    # closed form of Kaldi's iterated reflection
+    # (while s<0 or s>=L: s = s<0 ? -s-1 : 2L-1-s), period 2L — exact for
+    # any index, including utterances shorter than half a window
+    m = np.mod(j, max(2 * length, 1))
+    return np.where(m >= length, 2 * length - 1 - m, m)
 
 
 def kaldi_fbank(

@@ -142,13 +142,12 @@ MAX_B_BLOCK = 64  # VMEM budget per batch block (v5e: 128 fits only when the
 
 def _b_block(B: int, cap: int = 128) -> int:
     """Largest batch block <= cap that divides B (single block when B <= cap:
-    no transition buffer, fastest)."""
+    no transition buffer, fastest).  Must always return an exact divisor —
+    the grid is (B // BB, T), so a non-divisor would silently leave the
+    trailing batch rows uncomputed."""
     if B <= cap:
         return B
-    blk = MAX_B_BLOCK
-    while B % blk:
-        blk //= 2
-    return max(blk, 8)
+    return next(blk for blk in range(cap, 0, -1) if B % blk == 0)
 
 
 def _b_block_bwd(B: int, dtype) -> int:

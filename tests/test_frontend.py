@@ -157,3 +157,68 @@ def test_kaldi_fbank_class_matches_pipeline():
     T = golden.shape[0]
     assert got.shape[0] == T
     np.testing.assert_allclose(got, golden, rtol=1e-3, atol=1e-3)
+
+
+def test_reflection_matches_kaldi_iterated_for_short_utterances():
+    """Sub-window utterances (< frame length) need multi-pass reflection;
+    the closed form must equal Kaldi's while-loop for every index."""
+    from mlvae_tpu.ops.frontend_ref import _reflect_index
+
+    def kaldi_loop(s, L):
+        while s < 0 or s >= L:
+            s = -s - 1 if s < 0 else 2 * L - 1 - s
+        return s
+
+    for L in [1, 3, 150, 400]:
+        j = np.arange(-3 * L - 2, 4 * L + 2)
+        want = np.array([kaldi_loop(int(s), L) for s in j])
+        np.testing.assert_array_equal(_reflect_index(j, L), want)
+
+
+def test_kaldi_fbank_jax_matches_oracle_sub_window_utterance():
+    """A 150-sample utterance (window=400) exercises the multi-reflection
+    path end to end: jax gather and numpy oracle must agree."""
+    from mlvae_tpu.ops import frontend_ref as ref
+    from mlvae_tpu.ops.fbank import kaldi_fbank_batch, kaldi_frame_counts
+
+    rs = np.random.RandomState(11)
+    wave = (rs.randn(150) * 1000).astype(np.float32)
+    golden = ref.kaldi_fbank(wave)
+    feats, n = kaldi_fbank_batch(
+        jnp.asarray(wave)[None, :], jnp.asarray([150], jnp.int32),
+        max_frames=int(kaldi_frame_counts(150, 320)),
+    )
+    T = golden.shape[0]
+    assert int(n[0]) == T
+    np.testing.assert_allclose(np.asarray(feats[0, :T]), golden,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_deltas_batch_masks_padding():
+    from mlvae_tpu.ops.fbank import deltas_batch
+
+    rs = np.random.RandomState(3)
+    feats = jnp.asarray(rs.randn(2, 10, 4), jnp.float32)
+    feats = feats * (jnp.arange(10)[None, :, None] <
+                     jnp.asarray([6, 10])[:, None, None])
+    out = deltas_batch(feats, jnp.asarray([6, 10], jnp.int32))
+    assert np.abs(np.asarray(out[0, 6:])).max() == 0.0
+    assert np.abs(np.asarray(out[1])).max() > 0.0
+
+
+def test_wave_augment_respects_lens():
+    from mlvae_tpu.ops.augment import WaveAugment
+
+    aug = WaveAugment(speeds=[1.0], noise_snr_db=20.0, seed=1)
+    rs = np.random.RandomState(7)
+    waves = np.zeros((2, 16000), np.float32)
+    waves[0, :1600] = rs.randn(1600)
+    waves[1] = rs.randn(16000)
+    out = aug(waves, lens=[1600, 16000])
+    # padding region of the short utterance stays exactly zero
+    assert np.abs(out[0, 1600:]).max() == 0.0
+    # injected noise power ~ signal power / 100 over the TRUE samples
+    noise = out[0, :1600] - waves[0, :1600]
+    snr = 10 * np.log10(np.mean(waves[0, :1600] ** 2) /
+                        np.mean(noise ** 2))
+    assert 18.0 < snr < 22.0

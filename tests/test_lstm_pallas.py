@@ -161,3 +161,27 @@ def test_pallas_lstm_bf16_streams():
     rel_w = float(jnp.abs(g_w - gs_w).max()
                   / jnp.maximum(jnp.abs(gs_w).max(), 1e-8))
     assert rel_w < 0.05, rel_w
+
+
+def test_b_block_always_divides():
+    """_b_block must return an exact divisor of B for ANY B: the grid is
+    (B // BB, T), so a non-divisor would silently skip the last rows."""
+    from mlvae_tpu.ops.lstm_pallas import _b_block, _b_block_bwd
+    for B in [1, 7, 8, 100, 129, 132, 136, 200, 255, 256, 1000]:
+        for cap in [8, 64, 128]:
+            blk = _b_block(B, cap)
+            assert B % blk == 0, (B, cap, blk)
+            assert blk <= max(cap, B if B <= cap else cap)
+    assert 132 % _b_block_bwd(132, jnp.float32) == 0
+
+
+def test_pallas_lstm_odd_batch_rows_all_computed():
+    """B=132 > the 128 block cap with no power-of-two divisor <= 64:
+    regression for the old max(blk, 8) fallback that truncated the grid."""
+    rs = np.random.RandomState(5)
+    gx = jnp.asarray(rs.randn(6, 132, 32) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(32, 8) * 0.1, jnp.float32)
+    hs_p, _ = lstm_layer(gx, w, False, True)
+    hs_s = _scan_lstm(gx, w)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
+                               rtol=1e-5, atol=1e-6)

@@ -106,3 +106,11 @@ def test_native_resample_tone():
     seconds = len(mid) / sr_out
     freq = zc / 2 / seconds
     assert abs(freq - 440) < 8, freq
+
+
+def test_native_fbank_sub_window_utterance_matches_golden():
+    """150 samples < window/2: exercises the iterated-reflection path."""
+    w = _wave(150, seed=4)
+    golden = ref.kaldi_fbank(w)
+    got = native.kaldi_fbank(w)
+    np.testing.assert_allclose(got, golden, rtol=1e-4, atol=1e-4)
