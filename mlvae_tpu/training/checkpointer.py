@@ -177,12 +177,16 @@ class Checkpointer:
         ``keep_recent``, SpeechBrain's default) the newest — the newest is
         what fit-resume restarts from.
 
-        With ``async_save`` the state is staged to host RAM here (one
-        batched device->host fetch — queued snapshots never pin device HBM)
-        and the disk write runs on a worker thread so training continues
-        immediately.  A queued save that a newer request supersedes is
-        skipped UNLESS it is (provably) among the best ``num_to_keep`` under
-        one of its metric keys; a skipped save is *held* until the newer
+        With ``async_save`` the device->host copy is *initiated* here
+        (``copy_to_host_async`` per leaf, non-blocking) and completed on the
+        worker thread, which then writes to disk — training continues
+        immediately.  The snapshot's old device buffers stay alive only
+        until the worker's fetch completes, and enqueueing blocks when two
+        saves are already outstanding, so device HBM holds at most ~2 extra
+        snapshots (the same bound orbax's async checkpointing gives).  A
+        queued save that a newer request supersedes is skipped UNLESS it is
+        (provably) among the best ``num_to_keep`` under one of its metric
+        keys; a skipped save is fetched to host and *held* until the newer
         saves that justified the skip have durably persisted, and is
         re-enqueued if a worker save fails — so async never loses a state
         sync mode would have written.  Best-by-key checkpoints always
@@ -197,9 +201,15 @@ class Checkpointer:
                                  num_to_keep, keep_recent)
             return
         self._raise_worker_error()
-        # stage to host on the caller: after this, the snapshot lives in
-        # host RAM only, so queued/in-flight saves cost zero device HBM
-        state = jax.device_get(state)
+        # kick off the D2H DMA now (non-blocking); the worker's device_get
+        # then completes quickly, and the copy overlaps training
+        for leaf in jax.tree_util.tree_leaves(state):
+            start_async = getattr(leaf, "copy_to_host_async", None)
+            if start_async is not None:
+                try:
+                    start_async()
+                except Exception:  # plugin backends may not support it
+                    pass
         with self._cv:
             if self._queue:
                 # supersede: set aside queued saves that can no longer be
@@ -221,8 +231,18 @@ class Checkpointer:
                                            item[4], known):
                         new_queue.append(item)
                     else:
-                        self._dropped.append(item)
+                        # held items can linger, so release their device
+                        # buffers now (the async copy above makes this a
+                        # near-complete DMA, not a fresh synchronous fetch)
+                        self._dropped.append(
+                            (jax.device_get(item[0]),) + item[1:])
                 self._queue = new_queue
+            # backpressure: every queued snapshot pins its device buffers
+            # until the worker's fetch completes, so bound the queue depth
+            # (rare: only bites when saves are slower than epochs AND the
+            # queued saves are all best-by-key-protected from the drop pass)
+            while len(self._queue) >= 2 and self._worker_error is None:
+                self._cv.wait()
             self._queue.append(
                 (state, meta, max_keys, min_keys, num_to_keep, keep_recent))
             self._ensure_worker()
@@ -380,6 +400,7 @@ def _worker_main(ref: "weakref.ref[Checkpointer]"):
                 continue
             item = self._queue.popleft()
             self._inflight_meta = item[1]
+            cv.notify_all()  # unblock backpressured enqueuers promptly
         try:
             self._save_and_prune(*item)
             if self._dropped:

@@ -148,24 +148,62 @@ def test_drop_survives_superseder_failure(tmp_path):
     assert best.meta["epoch"] == 2 and best.meta["F1"] == 40.0
 
 
-def test_enqueue_stages_state_to_host(tmp_path):
-    """Queued snapshots must live in host RAM (plain numpy), not as device
-    arrays pinning HBM while the worker catches up."""
+def test_held_drops_are_staged_to_host(tmp_path):
+    """Supersede-dropped saves can linger until their superseder persists,
+    so they must hold host numpy arrays, never device buffers (HBM)."""
     import jax
     ck = Checkpointer(tmp_path / "ckpts", async_save=True)
     gate = threading.Event()
     orig = ck._save_and_prune
     ck._save_and_prune = lambda *a: (gate.wait(timeout=10), orig(*a))
-    dev_state = {"params": {"w": jax.numpy.ones((4, 4))}}
-    ck.save_and_keep_only(dev_state, meta={"epoch": 1})
-    ck.save_and_keep_only(dev_state, meta={"epoch": 2})
+    dev = lambda e: {"params": {"w": jax.numpy.full((4, 4), float(e))}}
+    ck.save_and_keep_only(dev(1), meta={"F1": 5.0, "epoch": 1},
+                          max_keys=["F1"])
+    time.sleep(0.2)
+    ck.save_and_keep_only(dev(2), meta={"F1": 7.0, "epoch": 2},
+                          max_keys=["F1"])
+    ck.save_and_keep_only(dev(3), meta={"F1": 50.0, "epoch": 3},
+                          max_keys=["F1"])  # supersedes epoch 2
     with ck._cv:
-        queued_leaves = [leaf for (s, *_r) in ck._queue
-                         for leaf in jax.tree_util.tree_leaves(s)]
-    assert queued_leaves and all(
-        isinstance(l, np.ndarray) for l in queued_leaves)
+        dropped_leaves = [leaf for (s, *_r) in ck._dropped
+                          for leaf in jax.tree_util.tree_leaves(s)]
+    assert dropped_leaves and all(
+        isinstance(l, np.ndarray) for l in dropped_leaves)
     gate.set()
     ck.flush()
+
+
+def test_backpressure_bounds_queue_depth(tmp_path):
+    """With the worker stalled and every queued save best-by-key-protected,
+    a third enqueue must block (HBM pinning bound) until the worker makes
+    progress, then complete."""
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    gate = threading.Event()
+    orig = ck._save_and_prune
+    ck._save_and_prune = lambda *a: (gate.wait(timeout=10), orig(*a))
+    # one metric key per save: no save can ever be superseded, so the drop
+    # pass cannot shrink the queue and only backpressure bounds it
+    for e in (1, 2, 3):
+        ck.save_and_keep_only(_state(e), meta={f"m{e}": 1.0, "epoch": e},
+                              max_keys=[f"m{e}"])
+        if e == 1:
+            time.sleep(0.2)  # worker picks up save 1 (stalled)
+    done = threading.Event()
+
+    def fourth():
+        ck.save_and_keep_only(_state(4), meta={"m4": 1.0, "epoch": 4},
+                              max_keys=["m4"])
+        done.set()
+
+    t = threading.Thread(target=fourth, daemon=True)
+    t.start()
+    assert not done.wait(timeout=0.5), "4th enqueue should block at depth 2"
+    gate.set()
+    assert done.wait(timeout=10), "enqueue must complete once worker drains"
+    ck.flush()
+    # pruning uses only each request's own keys (SpeechBrain parity), so
+    # every later save prunes the earlier ones: newest survives
+    assert [c.meta["epoch"] for c in ck.list_checkpoints()] == [4]
 
 
 def test_close_stops_worker_and_stays_usable(tmp_path):
