@@ -336,6 +336,7 @@ def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
             with open(json_path) as f:
                 saved = json.load(f)
             logger.info("Applying saved MD results (data cleaning).")
+            fully_excised = []
             for utt_id, sample in computed.items():
                 if utt_id not in saved:
                     continue
@@ -355,6 +356,21 @@ def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
                         assert len(data) == plvl_len
                         sample[key] = apply_plvl_saved_md_results(
                             data, saved[utt_id])
+                if (len(sample["gt_phn_seq"]) == 0
+                        or len(sample["feat"]) == 0):
+                    # every phoneme was flagged: nothing left to train on
+                    # (unhandled in the reference, which would produce empty
+                    # tensors; a zero-length utterance cannot batch)
+                    fully_excised.append(utt_id)
+            for utt_id in fully_excised:
+                del computed[utt_id]
+            if fully_excised:
+                logger.info(
+                    "data cleaning fully excised %d/%d utterances "
+                    "(every phoneme flagged); dropped: %s%s",
+                    len(fully_excised), len(computed) + len(fully_excised),
+                    ", ".join(fully_excised[:5]),
+                    "..." if len(fully_excised) > 5 else "")
 
         computed_datasets.append(
             DynamicItemDataset(computed, output_keys=OUTPUT_KEYS)

@@ -44,6 +44,8 @@ class ErrorRateStats:
             })
 
     def summarize(self, field: Optional[str] = None):
+        if not self.details:
+            raise ValueError("no scores appended")  # see MetricStats
         total_ref = sum(d["num_ref"] for d in self.details)
         total_err = sum(d["errors"] for d in self.details)
         stats = {

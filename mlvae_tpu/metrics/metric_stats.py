@@ -22,10 +22,15 @@ class MetricStats:
         self.scores.extend(float(s) for s in self.metric(*args, **kwargs))
 
     def summarize(self, field: Optional[str] = None):
+        if not self.scores:
+            # same contract as the other stats classes: an empty logger
+            # raises so metric collection skips it, instead of logging a
+            # misleading constant 0.0 for stages where nothing appended
+            raise ValueError("no scores appended")
         stats = {
-            "average": float(np.mean(self.scores)) if self.scores else 0.0,
-            "min_score": float(np.min(self.scores)) if self.scores else 0.0,
-            "max_score": float(np.max(self.scores)) if self.scores else 0.0,
+            "average": float(np.mean(self.scores)),
+            "min_score": float(np.min(self.scores)),
+            "max_score": float(np.max(self.scores)),
         }
         return stats if field is None else stats[field]
 

@@ -26,7 +26,7 @@ from mlvae_tpu.models.md_model import MDModel
 from mlvae_tpu.nn.core import RngStream
 from mlvae_tpu.ops import ctc as ctc_ops
 from mlvae_tpu.training.brain import Stage
-from mlvae_tpu.utils.tensor import undo_padding
+from mlvae_tpu.utils.tensor import resample_by_factor_np, undo_padding
 
 logger = logging.getLogger(__name__)
 
@@ -39,10 +39,15 @@ class SBModel(MDModel):
 
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)
-        self.stats_loggers["phn_per_stats"] = ErrorRateStats()
-        self.stats_loggers["cnncl_per_stats"] = ErrorRateStats()
-        self.stats_loggers["plvl_md_stats"] = MDMetricStats()
-        self.stats_loggers["boundary_stats"] = BoundaryMetricStats()
+        # eval-only stats: the reference appends PER inside every training
+        # compute_objectives (eager greedy decode per train batch,
+        # CRDNN_CTC/model.py:69-80); here decode runs only at eval, so
+        # registering these at TRAIN would log a bogus constant 0.0 PER
+        if stage != Stage.TRAIN:
+            self.stats_loggers["phn_per_stats"] = ErrorRateStats()
+            self.stats_loggers["cnncl_per_stats"] = ErrorRateStats()
+            self.stats_loggers["plvl_md_stats"] = MDMetricStats()
+            self.stats_loggers["boundary_stats"] = BoundaryMetricStats()
 
     def compute_forward(self, params, states, batch, stage, rng, epoch):
         feats, feat_lens = batch["feat"]
@@ -123,16 +128,7 @@ class SBModel(MDModel):
         ``model.py:134-176``)."""
         feats, feat_lens = batch["feat"]
         T_feat = feats.shape[1]
-        factor = max(1, T_feat // pout.shape[1])
-        pout_rs = np.repeat(pout, factor, axis=1)
-        if pout_rs.shape[1] > T_feat:
-            pout_rs = pout_rs[:, :T_feat]
-        elif pout_rs.shape[1] < T_feat:
-            pad = np.zeros(
-                (pout.shape[0], T_feat - pout_rs.shape[1], pout.shape[2]),
-                pout.dtype,
-            )
-            pout_rs = np.concatenate([pout_rs, pad], axis=1)
+        pout_rs = resample_by_factor_np(pout, T_feat)
 
         out = []
         feat_lens = np.asarray(feat_lens)

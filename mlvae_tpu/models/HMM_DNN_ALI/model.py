@@ -58,9 +58,12 @@ class SBModel(MDModel):
                 and bool(self.hparams.get("realign_during_train", False))):
             # reference schedule (model.py:81-89): realign from THIS train
             # batch's posteriors so next epoch's NLL targets are one epoch
-            # stale at most.  Forward-only eval step reuses the jit cache.
-            prepared = self.prepare_batch(batch)
-            dev_batch = self._cached_device_batch(prepared)
+            # stale at most.  Forward-only eval step reuses the jit cache;
+            # the prepared batch and device transfer are reused from the
+            # fit step (the device-batch cache is off under viterbi, so a
+            # fresh transfer here would double the per-step host RTT cost)
+            prepared = self._last_prepared_batch
+            dev_batch = self._last_dev_batch
             self.rng, step_rng = jax.random.split(self.rng)
             epoch = jnp.asarray(self.current_epoch(), jnp.int32)
             eval_step = self._get_compiled("eval", Stage.TRAIN)
@@ -95,7 +98,14 @@ class SBModel(MDModel):
             params["model"], feats, rng=stream, train=train
         )
         out = self.modules["output"].apply(params["output"], out)
-        out = out - out.mean(axis=1, keepdims=True)
+        # per-utterance scaled-likelihood prior (reference model.py:43
+        # subtracts an unmasked time mean; its padding is per-batch dynamic
+        # and small, ours is bucketed to 32-frame multiples — a masked mean
+        # keeps posteriors independent of batch composition/bucket size)
+        from mlvae_tpu.utils.tensor import length_mask
+        mask = length_mask(feat_lens, out.shape[1], dtype=out.dtype)[..., None]
+        denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+        out = out - (out * mask).sum(axis=1, keepdims=True) / denom
         pout = self.hparams["log_softmax"](out)
         return {"pout": pout}, dict(states)
 

@@ -39,7 +39,8 @@ from mlvae_tpu.nn import dist as D
 from mlvae_tpu.nn.core import RngStream
 from mlvae_tpu.ops import decode as dec
 from mlvae_tpu.training.brain import Stage
-from mlvae_tpu.utils.tensor import abs_lengths, apply_lens_to_loss
+from mlvae_tpu.utils.tensor import (abs_lengths, apply_lens_to_loss,
+                                    undo_padding)
 
 logger = logging.getLogger(__name__)
 
@@ -267,17 +268,8 @@ class SBModel(MDModel):
         pred_boundary = [boundary[i, : t_lens[i]] for i in range(B)]
         pred_plvl = [plvl[i, : l_lens[i]] for i in range(B)]
 
-        gt_md, gt_md_lens = batch["plvl_gt_md_lbl_seq"]
-        gt_b, gt_b_lens = batch["gt_boundary_seq"]
-        Lmax, Tmax = gt_md.shape[1], gt_b.shape[1]
-        gt_md_seqs = [
-            np.asarray(gt_md[i][: round(float(gt_md_lens[i]) * Lmax)])
-            for i in range(B)
-        ]
-        gt_b_seqs = [
-            np.asarray(gt_b[i][: round(float(gt_b_lens[i]) * Tmax)])
-            for i in range(B)
-        ]
+        gt_md_seqs = undo_padding(*batch["plvl_gt_md_lbl_seq"])
+        gt_b_seqs = undo_padding(*batch["gt_boundary_seq"])
 
         self.stats_loggers["plvl_md_stats"].append(
             ids=self._batch_ids,

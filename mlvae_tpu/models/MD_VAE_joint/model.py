@@ -30,20 +30,9 @@ class SBModel(MD_VAE):
             self.target = Target.TEST
         logger.info("Epoch %s, stage %s: target is %s (joint)", epoch, stage,
                     self.target)
-        self._init_md_stats(stage)
-
-    def _init_md_stats(self, stage):
-        from mlvae_tpu.metrics.boundary import BoundaryMetricStats
-        from mlvae_tpu.metrics.loss import LossMetricStats
-        from mlvae_tpu.metrics.md import MDMetricStats
-
-        self.stats_loggers = {}
-        for key in self.hparams.get("metric_keys", []):
-            if key.endswith("_loss"):
-                self.stats_loggers[key + "_stats"] = LossMetricStats(key)
-        if self.to_run_evaluation(stage):
-            self.stats_loggers["plvl_md_stats"] = MDMetricStats()
-            self.stats_loggers["boundary_stats"] = BoundaryMetricStats()
+        # inherited stats init dispatches through the overridden
+        # to_run_evaluation (eval every 10th VALID epoch)
+        self._init_stage_stats(stage)
 
     def to_run_evaluation(self, stage):
         if stage == Stage.TRAIN:

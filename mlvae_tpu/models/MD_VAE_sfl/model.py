@@ -148,7 +148,8 @@ class SBModel(MD_VAE):
                     sampled = jnp.argmax(pi_logits, axis=-1)
                 sampled = sampled.astype(feats.dtype)
                 sampled_pi = jnp.stack([1 - sampled, sampled], axis=2)
-                predictions["sampled_pi"] = sampled
+                # same contract as MD_VAE: (B, T, 2) stacked indicator
+                predictions["sampled_pi"] = sampled_pi
 
                 enc_out = self.modules["encoder"].apply(
                     params["encoder"], rnn_out, sampled_pi,

@@ -61,8 +61,10 @@ class MDModel(Brain):
             from mlvae_tpu.training.optim import as_factory
             opt = as_factory(factory).make()
             self.optimizers[name] = (opt, module_names)
-            subset = self._opt_param_subset(self.params, module_names)
-            self.opt_states[name] = opt.init(subset)
+            # per-module states: frozen (detached-loss) modules keep their
+            # optimizer state untouched, matching the reference's torch
+            # behavior where grad=None params are skipped (md_model.py:54-88)
+            self.opt_states[name] = self._init_opt_state(opt, module_names)
 
     # ------------------------------------------------------------------
     # loss weighting (pure, used inside the jitted step)

@@ -54,7 +54,8 @@ class SBModel(MDModel):
         for i, bv in enumerate(boundary_v):
             k = int(np.asarray(fa_boundary[i]).sum())
             seq = np.zeros_like(bv)
-            seq[np.argsort(bv)[-k:]] = 1
+            if k > 0:  # [-0:] would select EVERY frame, not none
+                seq[np.argsort(bv)[-k:]] = 1
             preds.append(seq)
         targets = undo_padding(*batch["gt_boundary_seq"])
         self.stats_loggers["boundary_stats"].append(

@@ -17,7 +17,7 @@ import numpy as np
 
 from mlvae_tpu.models.w2v_CRDNN_CTC.model import SBModel as W2V_CRDNN_CTC
 from mlvae_tpu.training.brain import Stage
-from mlvae_tpu.utils.tensor import undo_padding
+from mlvae_tpu.utils.tensor import resample_by_factor_np, undo_padding
 
 
 class SBModel(W2V_CRDNN_CTC):
@@ -35,12 +35,7 @@ class SBModel(W2V_CRDNN_CTC):
         pout = np.asarray(predictions["pout"])
         feats, feat_lens = batch["feat"]
         T_feat = feats.shape[1]
-        factor = max(1, T_feat // pout.shape[1])
-        pout_rs = np.repeat(pout, factor, axis=1)[:, :T_feat]
-        if pout_rs.shape[1] < T_feat:
-            pad = np.zeros((pout.shape[0], T_feat - pout_rs.shape[1],
-                            pout.shape[2]), pout.dtype)
-            pout_rs = np.concatenate([pout_rs, pad], axis=1)
+        pout_rs = resample_by_factor_np(pout, T_feat)
         for utt_id, trimmed in zip(
             self._batch_ids, undo_padding(pout_rs, feat_lens)
         ):

@@ -23,6 +23,7 @@ builds on (``fit``/``evaluate``/stage hooks/``compute_forward``/
 """
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from enum import Enum, auto
@@ -226,7 +227,19 @@ class Brain:
         from mlvae_tpu.training.optim import as_factory
         opt = as_factory(factory).make()
         self.optimizers = {"optimizer": (opt, None)}
-        self.opt_states = {"optimizer": opt.init(self.params)}
+        self.opt_states = {"optimizer": self._init_opt_state(opt, None)}
+
+    def _opt_module_keys(self, module_names):
+        return (sorted(self.params) if module_names is None
+                else list(module_names))
+
+    def _init_opt_state(self, opt, module_names):
+        """One optimizer state PER MODULE: a module whose losses are
+        detached this epoch (target cycling) keeps its state untouched —
+        torch parity, where params with grad=None are skipped entirely and
+        their per-param Adam step/moments never advance."""
+        return {mk: opt.init({mk: self.params[mk]})
+                for mk in self._opt_module_keys(module_names)}
 
     # ------------------------------------------------------------------
     # fused step builders
@@ -282,15 +295,30 @@ class Brain:
             new_params = dict(params)
             new_opt_states = {}
             for name, opt, module_names in opt_items:
-                g_sub = self._opt_param_subset(grads, module_names)
-                p_sub = self._opt_param_subset(new_params, module_names)
-                updates, new_opt_states[name] = opt.update(
-                    g_sub, opt_states[name], p_sub
-                )
-                updated = jax.tree_util.tree_map(
-                    lambda p, u: p + u, p_sub, updates
-                )
-                new_params.update(updated)
+                new_opt_states[name] = {}
+                for mk in self._opt_module_keys(module_names):
+                    g_m = {mk: grads[mk]}
+                    p_m = {mk: new_params[mk]}
+                    updates, st = opt.update(g_m, opt_states[name][mk], p_m)
+                    # a module whose grads are ALL zero this step is
+                    # inactive (its losses were detached under the current
+                    # target, or the step was non-finite): skip it like
+                    # torch skips grad=None params — no param drift from
+                    # momentum tails, no optimizer-state advance
+                    active = functools.reduce(
+                        jnp.logical_or,
+                        [jnp.any(g != 0)
+                         for g in jax.tree_util.tree_leaves(g_m)],
+                        jnp.asarray(False),
+                    )
+                    new_opt_states[name][mk] = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(active, a, b),
+                        st, opt_states[name][mk],
+                    )
+                    new_params.update(jax.tree_util.tree_map(
+                        lambda p, u: p + jnp.where(active, u, 0), p_m,
+                        updates,
+                    ))
             return new_params, new_opt_states, new_states, loss, losses
 
         return jax.jit(step)
@@ -465,6 +493,11 @@ class Brain:
     def fit_batch(self, batch: PaddedBatch) -> float:
         batch = self.prepare_batch(batch)
         dev_batch = self._cached_device_batch(batch)
+        # recipes that run extra device work per train batch (e.g.
+        # HMM_DNN_ALI realignment) reuse these instead of re-preparing and
+        # re-transferring the same batch
+        self._last_prepared_batch = batch
+        self._last_dev_batch = dev_batch
         feats = dev_batch.get("feat", dev_batch.get("kaldi_feat"))
         if feats is not None:
             self.ensure_states(int(feats[0].shape[-1]))
@@ -661,6 +694,8 @@ class Brain:
                     jax.tree_util.tree_map(lambda v: v[r], losses_s)
                 )
                 preds_r = jax.tree_util.tree_map(lambda v: v[r], preds_s)
+                preds_r = self._trim_replica_padding(
+                    preds_r, len(host_batch.ids))
                 self.evaluate_predictions(preds_r, host_batch, stage)
                 losses_all.append(float(np.asarray(loss_s[r])))
             i = j + 1
@@ -680,8 +715,26 @@ class Brain:
             self.params, self.states, step_rng, dev_batch, epoch
         )
         self._record_losses(losses)
+        preds = self._trim_replica_padding(preds, len(batch.ids))
         self.evaluate_predictions(preds, batch, stage)
         return float(loss)
+
+    def _trim_replica_padding(self, preds, n: int):
+        """Under data-parallel ``to_device_batch`` pads the batch axis so B
+        divides the mesh's data axis; host-side evaluation must see only
+        the ``n`` real samples or per-sample loops index ground truth out
+        of range (and duplicated rows would skew the metric stats)."""
+        if self.mesh is None:
+            return preds
+        pad_to = dict(self.mesh.shape).get("data", self.mesh.size)
+        padded = n if n % pad_to == 0 else n + (pad_to - n % pad_to)
+        if padded == n:
+            return preds
+        return jax.tree_util.tree_map(
+            lambda x: x[:n]
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == padded else x,
+            preds,
+        )
 
     def _record_losses(self, losses: Dict[str, jnp.ndarray]):
         for key, value in losses.items():

@@ -103,6 +103,33 @@ def resample_by_factor(source, target_len: int, axis: int = 1, tol: int = 3):
     return out
 
 
+def resample_by_factor_np(source: np.ndarray, target_len: int,
+                          axis: int = 1, tol: int = 3) -> np.ndarray:
+    """Host-side twin of :func:`resample_by_factor` (same reference
+    semantics incl. the +-tol guard, ``data_utils.py:107-156``): a mismatch
+    beyond tol raises instead of silently zero-padding — zero log-probs are
+    probability 1 for every class and would corrupt alignment/posteriors."""
+    src_len = source.shape[axis]
+    factor = target_len // src_len
+    if factor <= 0:
+        raise ValueError(
+            f"non-positive factor for input lengths: {src_len} and "
+            f"{target_len}")
+    out = np.repeat(source, factor, axis=axis)
+    diff = out.shape[axis] - target_len
+    if not -tol <= diff <= tol:
+        raise ValueError(
+            "length difference between resampled and target too large: "
+            f"{diff} (source {src_len} x{factor} vs target {target_len})")
+    if diff > 0:
+        out = np.take(out, np.arange(target_len), axis=axis)
+    elif diff < 0:
+        pad_widths = [(0, 0)] * out.ndim
+        pad_widths[axis] = (0, -diff)
+        out = np.pad(out, pad_widths)
+    return out
+
+
 def boundary_seq_to_seg_seq(boundary_seq) -> np.ndarray:
     """Host-side: binary start-frame indicators -> (L, 2) [start, end) pairs.
 

@@ -198,3 +198,67 @@ def test_prefetch_preserves_order_and_propagates_errors():
     for x in prefetch(iter(range(1000)), depth=1):
         if x == 3:
             break
+
+
+def test_data_cleaning_drops_fully_excised_utterances(tmp_path, monkeypatch):
+    """An utterance whose every phoneme is flagged as mispronounced has
+    nothing left after cleaning; it must be dropped (with a log), not left
+    as zero-length arrays that break batching (corpus-scale regression)."""
+    import json
+    import pickle
+
+    monkeypatch.chdir(tmp_path)
+    from mlvae_tpu.data.synth import generate_corpus
+    from mlvae_tpu.data.datasets.SynAudioMNIST import prepare as syn_prepare
+    from mlvae_tpu.data import data_io
+    from mlvae_tpu.ops.fbank import Fbank
+    from mlvae_tpu.utils.phonemes import PhonemeSetHandler
+
+    root = tmp_path / "datasets/SynAudioMNIST"
+    generate_corpus(root, n_speakers=4, utts_per_speaker=3)
+    hparams = {
+        "dataset": "SynAudioMNIST",
+        "sample_rate": 16000,
+        "blank_index": 0,
+        "sorting": "descending",
+        "apply_saved_md_results": False,
+        "saved_md_results_model_name": "fake_model",
+        "train_dataloader_opts": {"batch_size": 2},
+        "kaldi_feature_params": {
+            "sample_rate": 16000, "hop_length": 20, "n_fft": 400,
+            "n_mels": 40,
+        },
+        "compute_features": Fbank(deltas=True),
+        "language": "digits",
+        "n_phonemes": 12,
+        "prepare": {
+            "dataset_dir": str(root / "original_dataset"),
+            "train_json_path": str(root / "annotation/train.json"),
+            "valid_json_path": str(root / "annotation/valid.json"),
+            "test_json_path": str(root / "annotation/test.json"),
+            "phoneme_set_handler": PhonemeSetHandler("digits", 12),
+        },
+    }
+    syn_prepare.prepare(**hparams["prepare"])
+    datasets, _ = data_io.prepare_datasets(hparams)
+
+    # flag EVERY phoneme of the first train utterance as mispronounced
+    with open(root / "computed_dataset/train.pkl", "rb") as f:
+        computed = pickle.load(f)
+    victim = next(iter(computed))
+    seg = computed[victim]["gt_seg_seq"]
+    results = [[i, float(i) / len(seg), float(i + 1) / len(seg)]
+               for i in range(len(seg))]
+    saved_dir = root / "saved_md_results"
+    saved_dir.mkdir(exist_ok=True)
+    (saved_dir / "fake_model.json").write_text(
+        json.dumps({victim: results}))
+
+    hparams["apply_saved_md_results"] = True
+    datasets, _ = data_io.prepare_datasets(hparams)
+    train = datasets[0]
+    assert victim not in train.ids
+    assert len(train) == len(computed) - 1
+    # remaining utterances batch fine
+    from mlvae_tpu.data.batch import PaddedBatch
+    PaddedBatch([train[i] for i in range(min(2, len(train)))])

@@ -52,3 +52,38 @@ def test_dp_step_matches_single_device():
     leaf1 = np.asarray(params1["pi_fc"]["lin0"]["weight"])
     leaf8 = np.asarray(params8["pi_fc"]["lin0"]["weight"])
     np.testing.assert_allclose(leaf1, leaf8, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_eval_with_ragged_last_batch(tmp_path, monkeypatch):
+    """B % n_devices != 0: to_device_batch replica-pads the batch; eval-time
+    prediction arrays must be trimmed back to the real batch before the
+    per-sample metric loops index host ground truth (regression: IndexError
+    on every DP VALID/TEST whose last batch didn't divide the mesh)."""
+    monkeypatch.chdir(tmp_path)
+    from pathlib import Path
+    from mlvae_tpu.cli import train as train_cli
+
+    REPO = Path(__file__).resolve().parent.parent
+    model_yaml = REPO / "mlvae_tpu/models/MD_VAE/model.yaml"
+    small = ("{model: {n_epochs: 3, feat_fc_size: 8, phn_recog_fc_size: 8, "
+             "concat_fc_size: 8, rnn_size: 8, vae_unit_size: 8, "
+             "latent_size: 4, dec_rnn_size: 8}, "
+             # batch 5 over 8 devices: every batch replica-padded 5 -> 8
+             "train_dataloader_opts: {batch_size: 5}, "
+             "valid_dataloader_opts: {batch_size: 5}}")
+    model = train_cli.main([
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", "MD_VAE",
+        "--model_name", "dp_ragged",
+        "--model", f"!include:{model_yaml}",
+        "--data_parallel", "True",
+        "--extra_overrides", small,
+        "--debug", "--debug_batches", "2",
+    ])
+    # epoch 3 = VAE target -> VALID ran evaluate_predictions under DP
+    log_text = (tmp_path / "results/dp_ragged/train_log.txt").read_text()
+    assert "plvl_md.F1" in log_text

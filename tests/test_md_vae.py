@@ -82,3 +82,66 @@ def test_md_vae_train_eval_roundtrip(workdir):
     n_after_f = len(ds_clean.data[utt_id]["feat"])
     assert n_after_f == n_before_f - (round(0.5 * n_before_f)
                                       - round(0.25 * n_before_f))
+
+
+def test_frozen_branches_do_not_drift():
+    """Reference parity for target cycling: on an epoch where a branch's
+    losses are detached, that branch's params AND optimizer state must stay
+    bit-identical (torch skips grad=None params entirely; adam momentum
+    tails must not keep moving them)."""
+    import jax
+    import jax.numpy as jnp
+    from mlvae_tpu.bench_utils import build_md_vae, synth_batch
+    from mlvae_tpu.models.MD_VAE.model import Target
+    from mlvae_tpu.training.brain import Stage
+
+    model = build_md_vae(batch_size=2)
+    model.init_params()
+    batch = synth_batch(batch_size=2, T=32, L=4)
+    model.ensure_states(int(batch["feat"][0].shape[-1]))
+    model.init_optimizers()
+
+    # epoch 1: PHN_RECOG target builds real adam momentum on the recognizer
+    model.target = Target.PHN_RECOG
+    step = model._get_compiled("train", Stage.TRAIN)
+    p, o, s, loss, _ = step(model.params, model.opt_states, model.states,
+                            jax.random.PRNGKey(1), batch,
+                            jnp.asarray(1, jnp.int32))
+
+    # epoch 2: B_DETECTOR target -> recognizer losses detached; with live
+    # momentum the old zero-grad update would keep moving its params
+    model.target = Target.B_DETECTOR
+    step = model._get_compiled("train", Stage.TRAIN)
+    params0 = jax.device_get(p)
+    opt0 = jax.device_get(o)
+    p, o, s, loss, _ = step(p, o, s, jax.random.PRNGKey(2), batch,
+                            jnp.asarray(2, jnp.int32))
+    p2, o2, *_ = step(p, o, s, jax.random.PRNGKey(3), batch,
+                      jnp.asarray(2, jnp.int32))
+    p2, o2 = jax.device_get(p2), jax.device_get(o2)
+
+    # the recognizer itself: trained (momentum primed) in epoch 1, then
+    # loss-detached in epoch 2 — the exact reference freeze semantics
+    frozen = ["phoneme_recognizer"]
+    for k in frozen:
+        for a, b in zip(jax.tree_util.tree_leaves(params0[k]),
+                        jax.tree_util.tree_leaves(p2[k])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"frozen param drifted: {k}")
+    # frozen modules' optimizer state is untouched too
+    for name, per_mod in opt0.items():
+        for mk in per_mod:
+            if mk in frozen:
+                for a, b in zip(jax.tree_util.tree_leaves(per_mod[mk]),
+                                jax.tree_util.tree_leaves(o2[name][mk])):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b),
+                        err_msg=f"frozen opt state advanced: {name}/{mk}")
+    # and the boundary detector DID train
+    bd = [k for k in model.params if "b_detector" in k or "boundary" in k]
+    assert any(
+        np.abs(np.asarray(x) - np.asarray(y)).max() > 0
+        for k in bd
+        for x, y in zip(jax.tree_util.tree_leaves(params0[k]),
+                        jax.tree_util.tree_leaves(p2[k]))
+    ), "active branch should have updated"
