@@ -9,9 +9,10 @@ Parity with reference ``models/MD_VAE_sfl/model.py``:
   (``model.py:176-178``);
 * ``rif_loss = (reward − baseline.detach()) · nll`` with a learned
   ``baseline_fc`` head, entropy bonus, and baseline MSE (``model.py:180-182``);
-* the categorical log-likelihood uses the reference's RAW-LOGIT bmm trick
-  (``utils/data_utils.py:184-208``), reproduced via
-  ``categorical_ll_onehot`` — gradients flow through the logits linearly;
+* the categorical log-likelihood uses the reference's bmm trick
+  (``utils/data_utils.py:184-208``) over torch-normalized logits
+  (``Categorical.logits`` is log-softmaxed at construction), via
+  ``categorical_ll_onehot``;
 * optional ``use_kaldi_feat`` input path (``model.py:59-63``);
 * selection key ``plvl_md.soft_F1``.
 

@@ -168,7 +168,12 @@ def categorical_entropy(logits):
 
 
 def categorical_ll_onehot(logits, one_hot):
-    """<logits, one_hot> — the reference's bmm trick
-    (``utils/data_utils.py:184-208``); NOTE it contracts raw logits, not
-    log-probs, and we reproduce that behavior for parity; f32."""
-    return jnp.sum(_f32(logits) * _f32(one_hot), axis=-1)
+    """<log_softmax(logits), one_hot> — the reference's bmm trick
+    (``utils/data_utils.py:184-208``).  The reference contracts
+    ``Categorical(logits=...).logits``, which torch NORMALIZES to
+    log-probabilities at construction, so for a one-hot target this is the
+    exact log-likelihood (and its logit gradient is onehot − softmax, the
+    proper cross-entropy gradient — raw-logit contraction would push the
+    selected logit unboundedly); f32."""
+    logp = jax.nn.log_softmax(_f32(logits), axis=-1)
+    return jnp.sum(logp * _f32(one_hot), axis=-1)
