@@ -70,7 +70,8 @@ class SBModel(MDModel):
             preds, _, _ = eval_step(
                 self.params, self.states, step_rng, dev_batch, epoch
             )
-            self.evaluate_predictions(preds, prepared, Stage.TRAIN)
+            # _dispatch_evaluate trims DP replica padding (B % n_devices)
+            self._dispatch_evaluate(preds, prepared, Stage.TRAIN)
         return loss
 
     def prepare_batch(self, batch):

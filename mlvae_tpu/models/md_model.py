@@ -98,9 +98,27 @@ class MDModel(Brain):
                 f.write(f"{name}: {module!r}\n")
         # resume from the newest checkpoint when present
         if self.checkpointer is not None:
-            restored, ckpt = self.checkpointer.recover_if_possible(
-                self._checkpoint_templates()
-            )
+            from mlvae_tpu.training.checkpointer import CheckpointKeyMismatch
+
+            templates = self._checkpoint_templates()
+            try:
+                restored, ckpt = self.checkpointer.recover_if_possible(
+                    templates)
+            except CheckpointKeyMismatch as e:
+                if not e.rec_name.startswith("opt__"):
+                    raise  # params/states layout changed: not resumable
+                # optimizer-state layout changed (e.g. the move to
+                # one-state-per-module): resume params/states and RESET the
+                # optimizer moments rather than crash — loudly, since fresh
+                # Adam moments alter the next few steps
+                logger.warning(
+                    "checkpoint %s predates the current optimizer-state "
+                    "layout (%s); resuming with freshly initialized "
+                    "optimizer state", self.checkpointer.checkpoints_dir, e)
+                templates = {k: v for k, v in templates.items()
+                             if not k.startswith("opt__")}
+                restored, ckpt = self.checkpointer.recover_if_possible(
+                    templates)
             if restored:
                 self._restore_state(restored, ckpt)
 

@@ -244,11 +244,6 @@ class Brain:
     # ------------------------------------------------------------------
     # fused step builders
     # ------------------------------------------------------------------
-    def _opt_param_subset(self, params, module_names):
-        if module_names is None:
-            return params
-        return {k: params[k] for k in module_names}
-
     def _make_train_step(self):
         opt_items = [(name, self.optimizers[name][0],
                       self.optimizers[name][1])
@@ -304,7 +299,12 @@ class Brain:
                     # inactive (its losses were detached under the current
                     # target, or the step was non-finite): skip it like
                     # torch skips grad=None params — no param drift from
-                    # momentum tails, no optimizer-state advance
+                    # momentum tails, no optimizer-state advance.  Known
+                    # deviation: a LIVE module whose grads happen to be
+                    # exactly zero (measure-zero event in f32) is also
+                    # frozen for that step, where torch would advance its
+                    # Adam count; detached-vs-zero can't be told apart from
+                    # inside the trace without a loss->module map
                     active = functools.reduce(
                         jnp.logical_or,
                         [jnp.any(g != 0)
@@ -694,9 +694,7 @@ class Brain:
                     jax.tree_util.tree_map(lambda v: v[r], losses_s)
                 )
                 preds_r = jax.tree_util.tree_map(lambda v: v[r], preds_s)
-                preds_r = self._trim_replica_padding(
-                    preds_r, len(host_batch.ids))
-                self.evaluate_predictions(preds_r, host_batch, stage)
+                self._dispatch_evaluate(preds_r, host_batch, stage)
                 losses_all.append(float(np.asarray(loss_s[r])))
             i = j + 1
         return float(np.mean(losses_all)) if losses_all else 0.0
@@ -715,9 +713,17 @@ class Brain:
             self.params, self.states, step_rng, dev_batch, epoch
         )
         self._record_losses(losses)
-        preds = self._trim_replica_padding(preds, len(batch.ids))
-        self.evaluate_predictions(preds, batch, stage)
+        self._dispatch_evaluate(preds, batch, stage)
         return float(loss)
+
+    def _dispatch_evaluate(self, preds, host_batch, stage):
+        """Single choke point for handing device predictions to host-side
+        evaluation: trims DP replica padding first so per-sample metric
+        loops can't index host ground truth out of range.  Every site that
+        calls ``evaluate_predictions`` with device output must go through
+        here (recipes adding extra eval passes included)."""
+        preds = self._trim_replica_padding(preds, len(host_batch.ids))
+        self.evaluate_predictions(preds, host_batch, stage)
 
     def _trim_replica_padding(self, preds, n: int):
         """Under data-parallel ``to_device_batch`` pads the batch axis so B

@@ -38,8 +38,27 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
     return flat
 
 
+class CheckpointKeyMismatch(ValueError):
+    """The saved pytree's key paths don't match the current template — the
+    state LAYOUT changed since the checkpoint was written (e.g. optimizer
+    states moved to one-state-per-module).  Distinct from a shape mismatch,
+    which means the ARCHITECTURE changed."""
+
+    def __init__(self, missing, rec_name: str = "?"):
+        self.missing = list(missing)
+        self.rec_name = rec_name
+        super().__init__(
+            f"checkpoint layout mismatch for recoverable {rec_name!r}: "
+            f"{len(self.missing)} template key(s) absent from the saved "
+            f"file, e.g. {self.missing[:3]}")
+
+
 def _unflatten_like(template, flat: Dict[str, np.ndarray]):
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    missing = [jax.tree_util.keystr(p) for p, _ in leaves_with_path
+               if jax.tree_util.keystr(p) not in flat]
+    if missing:
+        raise CheckpointKeyMismatch(missing)
     new_leaves = []
     for path, leaf in leaves_with_path:
         key = jax.tree_util.keystr(path)
@@ -358,19 +377,23 @@ class Checkpointer:
         for rec_name, template in templates.items():
             orbax_path = ckpt.path / f"{rec_name}.orbax"
             npz_path = ckpt.path / f"{rec_name}.npz"
-            if orbax_path.exists():
-                import orbax.checkpoint as ocp
-                with ocp.PyTreeCheckpointer() as ckpter:
-                    restored = ckpter.restore(orbax_path.resolve())
-                out[rec_name] = _unflatten_like(
-                    template, {jax.tree_util.keystr(p): np.asarray(v)
-                               for p, v in
-                               jax.tree_util.tree_flatten_with_path(
-                                   restored)[0]})
-            elif npz_path.exists():
-                with np.load(npz_path, allow_pickle=False) as data:
-                    flat = {k: data[k] for k in data.files}
-                out[rec_name] = _unflatten_like(template, flat)
+            try:
+                if orbax_path.exists():
+                    import orbax.checkpoint as ocp
+                    with ocp.PyTreeCheckpointer() as ckpter:
+                        restored = ckpter.restore(orbax_path.resolve())
+                    out[rec_name] = _unflatten_like(
+                        template, {jax.tree_util.keystr(p): np.asarray(v)
+                                   for p, v in
+                                   jax.tree_util.tree_flatten_with_path(
+                                       restored)[0]})
+                elif npz_path.exists():
+                    with np.load(npz_path, allow_pickle=False) as data:
+                        flat = {k: data[k] for k in data.files}
+                    out[rec_name] = _unflatten_like(template, flat)
+            except CheckpointKeyMismatch as e:
+                e.rec_name = rec_name
+                raise CheckpointKeyMismatch(e.missing, rec_name) from None
         return out
 
     def recover_if_possible(self, templates: Dict[str, Any],

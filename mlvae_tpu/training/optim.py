@@ -79,10 +79,23 @@ def as_factory(obj) -> OptimizerFactory:
 
 
 def set_learning_rate(opt_state, new_lr: float):
-    """Update the injected learning-rate hyperparameter in-place-style."""
-    opt_state.hyperparams["learning_rate"] = new_lr
+    """Update the injected learning-rate hyperparameter in-place-style.
+
+    ``Brain.opt_states[name]`` is a dict of one InjectHyperparamsState PER
+    MODULE (frozen-branch parity); a bare state is accepted too."""
+    if isinstance(opt_state, dict):
+        for st in opt_state.values():
+            st.hyperparams["learning_rate"] = new_lr
+    else:
+        opt_state.hyperparams["learning_rate"] = new_lr
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
+    if isinstance(opt_state, dict):
+        lrs = {float(st.hyperparams["learning_rate"])
+               for st in opt_state.values()}
+        if len(lrs) != 1:
+            raise ValueError(f"per-module learning rates diverged: {lrs}")
+        return lrs.pop()
     return float(opt_state.hyperparams["learning_rate"])

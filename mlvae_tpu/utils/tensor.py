@@ -78,37 +78,14 @@ def undo_padding(batch, rel_lens) -> List:
     return out
 
 
-def resample_by_factor(source, target_len: int, axis: int = 1, tol: int = 3):
-    """Integer-factor repeat resampling with +-tol trim/zero-pad, matching
-    reference ``data_utils.py:107-156`` (used to align wav2vec frame rates).
-    """
-    src_len = source.shape[axis]
-    factor = target_len // src_len
-    if factor <= 0:
-        raise ValueError(
-            f"non-positive factor for input lengths: {src_len} and {target_len}"
-        )
-    out = jnp.repeat(source, factor, axis=axis)
-    diff = out.shape[axis] - target_len
-    if not -tol <= diff <= tol:
-        raise ValueError(
-            f"length difference between resampled and target too large: {diff}"
-        )
-    if diff > 0:
-        out = jnp.take(out, jnp.arange(target_len), axis=axis)
-    elif diff < 0:
-        pad_widths = [(0, 0)] * out.ndim
-        pad_widths[axis] = (0, -diff)
-        out = jnp.pad(out, pad_widths)
-    return out
-
-
 def resample_by_factor_np(source: np.ndarray, target_len: int,
                           axis: int = 1, tol: int = 3) -> np.ndarray:
-    """Host-side twin of :func:`resample_by_factor` (same reference
-    semantics incl. the +-tol guard, ``data_utils.py:107-156``): a mismatch
-    beyond tol raises instead of silently zero-padding — zero log-probs are
-    probability 1 for every class and would corrupt alignment/posteriors."""
+    """Integer-factor repeat resampling with the reference's +-tol guard
+    (``data_utils.py:107-156``, used to align wav2vec/recognizer frame
+    rates): a mismatch beyond tol raises instead of silently zero-padding —
+    zero log-probs are probability 1 for every class and would corrupt
+    alignment/posteriors.  Host-side numpy: every caller resamples decoded
+    posteriors on the host before per-utterance trimming."""
     src_len = source.shape[axis]
     factor = target_len // src_len
     if factor <= 0:

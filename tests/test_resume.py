@@ -100,3 +100,50 @@ def test_orbax_backend_round_trip(tmp_path):
 
     with pytest.raises(ValueError, match="unknown checkpoint backend"):
         Checkpointer(tmp_path, backend="flatbuffer")
+
+
+def test_resume_tolerates_opt_state_layout_change(tmp_path, monkeypatch,
+                                                  caplog):
+    """A checkpoint whose optimizer-state pytree predates the current layout
+    (e.g. the move to one-state-per-module) must resume params/states with a
+    LOUD warning and fresh optimizer moments — not crash with a KeyError
+    (params restore fine, so the raw error was opaque)."""
+    import logging
+
+    monkeypatch.chdir(tmp_path)
+    from mlvae_tpu.cli import train as train_cli
+
+    train_cli.main(_args(2))
+    ckpts = sorted((tmp_path / "results/resume_test/checkpoints").iterdir())
+    # mangle the saved optimizer state into a foreign layout: rename keys
+    for ckpt_dir in ckpts:
+        for npz_path in ckpt_dir.glob("opt__*.npz"):
+            with np.load(npz_path, allow_pickle=False) as data:
+                flat = {f".legacy{k}": data[k] for k in data.files}
+            np.savez(npz_path, **flat)
+
+    with caplog.at_level(logging.WARNING):
+        model2 = train_cli.main(_args(4))
+    assert model2.hparams["epoch_counter"].current == 4
+    assert any("optimizer-state" in r.message for r in caplog.records)
+
+    log = (tmp_path / "results/resume_test/train_log.txt").read_text()
+    assert log.count("stage: train, epoch: 2") == 1  # epochs 1-2 not re-run
+    assert "stage: train, epoch: 3" in log
+
+
+def test_params_layout_change_still_raises(tmp_path):
+    """Only opt__* recoverables fall back; a params layout change is a real
+    architecture problem and must raise the named mismatch error."""
+    import numpy as np
+    from mlvae_tpu.training.checkpointer import (Checkpointer,
+                                                 CheckpointKeyMismatch)
+
+    ckpt = Checkpointer(tmp_path)
+    c = ckpt.save_checkpoint(
+        {"params": {"enc": {"w": np.zeros((2, 2), np.float32)}}},
+        meta={"epoch": 1})
+    with pytest.raises(CheckpointKeyMismatch, match="params"):
+        ckpt.load_checkpoint(
+            c, templates={"params": {"enc2": {"w": np.zeros((2, 2),
+                                                            np.float32)}}})
