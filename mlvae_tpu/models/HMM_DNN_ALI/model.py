@@ -6,13 +6,15 @@ acoustic model over 3-state-per-phoneme HMM outputs, trainable with
 ``viterbi`` (NLL against stored alignments) objectives; Viterbi alignments
 stored and scored for accuracy.
 
-Scheduling: by default alignments refresh on every VALID/TEST pass — the
-standard realignment schedule — keeping the train step a single XLA
-program.  Setting ``realign_during_train: True`` in the recipe YAML
-restores the reference's exact schedule for the ``viterbi`` objective
-(alignments recomputed and stored from every TRAIN batch's posteriors,
-reference ``model.py:81-89``) at the cost of a host Viterbi per train
-step.
+Scheduling: the reference recomputes and stores Viterbi alignments from
+EVERY batch's posteriors inside ``compute_objectives`` — train batches
+included (reference ``model.py:81-89``) — so under ``viterbi`` training
+the NLL targets refresh continuously.  That is the default here too
+(``realign_during_train`` defaults to True).  Setting it to False keeps
+the train step a single XLA program (no host Viterbi per train batch);
+alignments then refresh only on VALID/TEST passes, which never see train
+utterances — train targets stay at the flat-start uniform split, so use
+it only for the ``forward``/``ctc`` objectives or throughput baselines.
 """
 from __future__ import annotations
 
@@ -55,7 +57,7 @@ class SBModel(MDModel):
     def fit_batch(self, batch):
         loss = super().fit_batch(batch)
         if (self.training_type == "viterbi"
-                and bool(self.hparams.get("realign_during_train", False))):
+                and bool(self.hparams.get("realign_during_train", True))):
             # reference schedule (model.py:81-89): realign from THIS train
             # batch's posteriors so next epoch's NLL targets are one epoch
             # stale at most.  Forward-only eval step reuses the jit cache;

@@ -28,11 +28,15 @@ class HMMAligner:
     def __init__(self, states_per_phoneme: int = 3,
                  batch_reduction: str = "mean",
                  input_len_norm: bool = True,
-                 target_len_norm: bool = False, **kwargs):
+                 target_len_norm: bool = False,
+                 hop_samples: int = 320, **kwargs):
         self.states_per_phoneme = int(states_per_phoneme)
         self.batch_reduction = batch_reduction
         self.input_len_norm = input_len_norm
         self.target_len_norm = target_len_norm
+        # frame hop in samples for calc_accuracy's end->frame conversion
+        # (default 20 ms @ 16 kHz; recipes with other hops must pass theirs)
+        self.hop_samples = int(hop_samples)
         self.align_dict: Dict[str, np.ndarray] = {}
 
     # -- state expansion ------------------------------------------------------
@@ -130,9 +134,17 @@ class HMMAligner:
             score = dp[S_b - 1]
             if self.input_len_norm:
                 score = score / max(T_b, 1)
+            if self.target_len_norm:
+                score = score / max(S_b, 1)
             scores[b] = score
             alignments.append(path)
-        red = np.mean(scores) if self.batch_reduction == "mean" else scores
+        # same reduction contract as forward_score
+        if self.batch_reduction == "mean":
+            red = np.mean(scores)
+        elif self.batch_reduction == "sum":
+            red = np.sum(scores)
+        else:
+            red = scores
         return red, alignments
 
     # -- alignment store (viterbi-training round trip) --------------------------
@@ -166,16 +178,18 @@ class HMMAligner:
 
     # -- accuracy metric ---------------------------------------------------------
     def calc_accuracy(self, alignments, ends, phns):
-        """Per-utterance frame accuracy of the aligned phoneme sequence vs the
-        ground-truth segmentation (ends in samples at 16 kHz, 20 ms hop)."""
+        """Per-utterance frame accuracy of the aligned phoneme sequence vs
+        the ground-truth segmentation (ends in samples, converted to frames
+        with ``hop_samples``)."""
         S = self.states_per_phoneme
+        hop = self.hop_samples
         accs = []
         for ali, end_seq, phn_seq in zip(alignments, ends, phns):
             ali = np.asarray(ali)
             T = len(ali)
             aligned_phn = ali // S
             gt = np.zeros(T, np.int64)
-            end_frames = [min(int(e) // 320, T) for e in np.asarray(end_seq)]
+            end_frames = [min(int(e) // hop, T) for e in np.asarray(end_seq)]
             start = 0
             for phn, end in zip(np.asarray(phn_seq).reshape(-1), end_frames):
                 gt[start:end] = int(phn)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mlvae_tpu.utils.tensor import abs_lengths
+from mlvae_tpu.utils.tensor import abs_lengths, length_mask
 
 
 def ctc_loss(log_probs, targets, input_lens, target_lens, blank_index=0,
@@ -36,16 +36,25 @@ def ctc_loss(log_probs, targets, input_lens, target_lens, blank_index=0,
     L = targets.shape[1]
     in_abs = abs_lengths(input_lens, T)
     tgt_abs = abs_lengths(target_lens, L)
-    logit_paddings = (jnp.arange(T)[None, :] >= in_abs[:, None]).astype(
-        jnp.float32
-    )
-    label_paddings = (jnp.arange(L)[None, :] >= tgt_abs[:, None]).astype(
-        jnp.float32
-    )
+    logit_paddings = 1.0 - length_mask(in_abs, T, dtype=jnp.float32,
+                                       absolute=True)
+    label_paddings = 1.0 - length_mask(tgt_abs, L, dtype=jnp.float32,
+                                       absolute=True)
     per_seq = optax.ctc_loss(
         log_probs, logit_paddings, targets.astype(jnp.int32), label_paddings,
         blank_id=blank_index,
     )
+    # torch/speechbrain pass zero_infinity=True: an utterance whose input is
+    # too short for any CTC path (|y| + consecutive-repeat blanks > T_in,
+    # common after conv time pooling) contributes loss 0 and grad 0.  optax
+    # instead fills with log_epsilon-scale (~1e5) losses that would blow up
+    # the batch mean, so mask infeasible utterances explicitly.
+    valid = 1.0 - label_paddings
+    repeats = jnp.sum(
+        (targets[:, 1:] == targets[:, :-1]) * valid[:, 1:], axis=1
+    )
+    feasible = in_abs >= tgt_abs + repeats
+    per_seq = jnp.where(feasible, per_seq, 0.0)
     if reduction == "mean":  # torch 'mean': loss_i / |y_i|, then average
         return jnp.mean(per_seq / jnp.maximum(tgt_abs, 1))
     if reduction == "batchmean":
@@ -58,9 +67,12 @@ def ctc_greedy_decode(probabilities, seq_lens, blank_id=0) -> List[List[int]]:
     probs = np.asarray(probabilities)
     seq_lens = np.asarray(seq_lens)
     B, T = probs.shape[0], probs.shape[1]
+    abs_lens = np.asarray(abs_lengths(seq_lens, T))
     out = []
     for i in range(B):
-        n = int(round(float(seq_lens[i]) * T))
+        # same f32 rounding as the loss path's abs_lengths — a float64
+        # round here could disagree by one frame near .5 boundaries
+        n = int(abs_lens[i])
         ids = probs[i, :n].argmax(-1)
         collapsed = [int(x) for j, x in enumerate(ids)
                      if (j == 0 or x != ids[j - 1]) and x != blank_id]
@@ -84,18 +96,19 @@ def ctc_forced_alignment(log_probs: np.ndarray, labels: Sequence[int],
     dp[0] = log_probs[0, blank_id]
     if S > 1:
         dp[1] = log_probs[0, state_label[1]]
+    # skip transition s-2 -> s allowed only into a label state whose label
+    # differs from the label two states back (loop-invariant: hoisted)
+    allow_skip = np.zeros(S, bool)
+    allow_skip[1::2] = True
+    same = np.zeros(S, bool)
+    same[3::2] = state_label[3::2] == state_label[1:-2:2]
+    allow_skip &= ~same
+
     back = np.zeros((T, S), np.int8)  # 0=stay, 1=from s-1, 2=from s-2
     for t in range(1, T):
         stay = dp
         prev1 = np.concatenate([[NEG], dp[:-1]])
         prev2 = np.concatenate([[NEG, NEG], dp[:-2]])
-        # skip transition s-2 -> s allowed only into a label state whose
-        # label differs from the label two states back
-        allow_skip = np.zeros(S, bool)
-        allow_skip[1::2] = True
-        same = np.zeros(S, bool)
-        same[3::2] = state_label[3::2] == state_label[1:-2:2]
-        allow_skip &= ~same
         prev2 = np.where(allow_skip, prev2, NEG)
         cands = np.stack([stay, prev1, prev2])
         best = cands.argmax(0)

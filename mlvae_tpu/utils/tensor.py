@@ -20,11 +20,14 @@ def abs_lengths(rel_lens, max_len: int):
     return jnp.round(rel_lens * max_len).astype(jnp.int32)
 
 
-def length_mask(rel_lens, max_len: int, dtype=jnp.float32):
-    """(B,) relative lengths -> (B, max_len) 0/1 mask."""
-    lens = abs_lengths(rel_lens, max_len)
+def length_mask(lens, max_len: int, dtype=jnp.float32,
+                absolute: bool = False):
+    """(B,) relative (or, with ``absolute=True``, absolute) lengths ->
+    (B, max_len) 0/1 mask."""
+    if not absolute:
+        lens = abs_lengths(lens, max_len)
     idx = jnp.arange(max_len)[None, :]
-    return (idx < lens[:, None]).astype(dtype)
+    return (idx < jnp.asarray(lens)[:, None]).astype(dtype)
 
 
 def apply_weight(x, weight):

@@ -95,3 +95,41 @@ def test_crdnn_ctc_smoke(workdir, recipe):
     log = (workdir / f"results/{recipe}_smoke/train_log.txt").read_text()
     assert "plvl_md.F1" in log
     assert "phn_per.error_rate" in log
+
+
+def test_ctc_loss_zero_infinity_parity():
+    """torch/speechbrain pass zero_infinity=True: an utterance whose input
+    is too short for any CTC path (|y| + consecutive-repeat blanks > T_in)
+    contributes 0 loss and 0 grad; optax would instead contribute a
+    ~1e5-scale filler that blows up the batch mean (regression)."""
+    import jax
+
+    rs = np.random.RandomState(2)
+    B, T, K, L = 2, 8, 5, 6
+    logits = rs.randn(B, T, K).astype(np.float32)
+    log_probs = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    # utt 0 feasible; utt 1 infeasible: 6 labels incl. a repeat pair -> needs
+    # >= 7 frames but only gets 4
+    targets = np.asarray([[1, 2, 3, 4, 1, 2],
+                          [1, 1, 2, 3, 4, 2]])
+    in_abs = np.asarray([8, 4])
+    tgt_abs = np.asarray([6, 6])
+
+    theirs = torch.nn.functional.ctc_loss(
+        log_probs.permute(1, 0, 2), torch.from_numpy(targets),
+        torch.from_numpy(in_abs), torch.from_numpy(tgt_abs),
+        blank=0, reduction="mean", zero_infinity=True,
+    ).item()
+
+    def ours_fn(lp):
+        return ctc_ops.ctc_loss(
+            lp, jnp.asarray(targets), jnp.asarray(in_abs / T),
+            jnp.asarray(tgt_abs / L), blank_index=0)
+
+    lp = jnp.asarray(np.asarray(log_probs))
+    ours = float(ours_fn(lp))
+    assert abs(ours - theirs) / abs(theirs) < 1e-4, (ours, theirs)
+    # gradient for the infeasible utterance is exactly zero
+    g = np.asarray(jax.grad(lambda x: ours_fn(x))(lp))
+    assert np.all(g[1] == 0)
+    assert np.any(g[0] != 0)
