@@ -75,10 +75,19 @@ def apply_plvl_saved_md_results(x, saved_md_results):
 
 
 def apply_boundary_saved_md_results(x, saved_md_results):
-    """Remove the frame span of each flagged phoneme from a boundary seq."""
+    """Remove the frame span of each flagged phoneme from a boundary seq.
+
+    The boundary sequence can carry FEWER 1s than there are phonemes when
+    ``generate_boundary_seq``'s bump-right collision rule pushed a start
+    past the last frame (``annotations.py``); the reference indexes past
+    the end and crashes there (``data_io_utils.py:301-303``) — we clamp
+    the flagged span to the sequence tail instead."""
     x_arr = np.asarray(x)
     idx_seq = np.where(x_arr == 1)[0].tolist() + [len(x_arr)]
     invalid: List[int] = []
+    last = len(idx_seq) - 1
     for idx, _, _ in saved_md_results:
-        invalid += list(range(idx_seq[idx], idx_seq[idx + 1]))
+        start = idx_seq[min(idx, last)]
+        end = idx_seq[min(idx + 1, last)]
+        invalid += list(range(start, end))
     return _drop_indices(x, invalid)

@@ -166,7 +166,15 @@ def data_io_prep(hparams):
 
     def _trim_to_kaldi(feat, utt_id):
         n = kaldi_feats[utt_id].shape[0]
-        assert 0 <= feat.shape[0] - n <= 1, (feat.shape, n, utt_id)
+        if not 0 <= feat.shape[0] - n <= 1:
+            fp = hparams["kaldi_feature_params"]
+            raise ValueError(
+                f"feature/kaldi frame-count mismatch for {utt_id}: "
+                f"{feat.shape[0]} vs {n}. The in-graph feature path uses "
+                f"sample_rate={hparams['sample_rate']} while "
+                f"kaldi_feature_params uses {fp['sample_rate']} (hop "
+                f"{fp['hop_length']} ms) — both pipelines must share one "
+                "rate/hop configuration")
         return feat[:n]
 
     def _batched_sb_features(wavs):
@@ -225,17 +233,17 @@ def data_io_prep(hparams):
         yield aug_wav_store.get(utt_id, wav_store[utt_id])
         yield aug_sb_feats.get(utt_id, sb_feats[utt_id])
 
-    def flvl_pipeline_for(txt_key):
-        def fn(feat, aug_feat, duration, seg_seq, txt_seq):
-            ids = label_encoder.encode_sequence(txt_seq)
-            yield ids
-            yield generate_flvl_annotation(
-                label_encoder, feat.shape[0], duration, seg_seq, ids
-            )
-            yield generate_flvl_annotation(
-                label_encoder, aug_feat.shape[0], duration, seg_seq, ids
-            )
-        return fn
+    def flvl_pipeline(feat, aug_feat, duration, seg_seq, txt_seq):
+        # which text sequence arrives (phn vs cnncl) is set by the takes
+        # list at registration; registered once per text key
+        ids = label_encoder.encode_sequence(txt_seq)
+        yield ids
+        yield generate_flvl_annotation(
+            label_encoder, feat.shape[0], duration, seg_seq, ids
+        )
+        yield generate_flvl_annotation(
+            label_encoder, aug_feat.shape[0], duration, seg_seq, ids
+        )
 
     def plvl_md_pipeline(gt_phn_seq, gt_cnncl_seq):
         return (np.asarray(gt_phn_seq) != np.asarray(gt_cnncl_seq)).astype(np.int64)
@@ -244,14 +252,12 @@ def data_io_prep(hparams):
         yield (np.asarray(flvl_phn) != np.asarray(flvl_cnncl)).astype(np.int64)
         yield (np.asarray(aug_flvl_phn) != np.asarray(aug_flvl_cnncl)).astype(np.int64)
 
-    def boundary_pipeline_for():
-        def fn(feat, duration, seg_seq):
-            boundary, phn_end = generate_boundary_seq(
-                feat.shape[0], duration, seg_seq
-            )
-            yield boundary
-            yield phn_end
-        return fn
+    def boundary_pipeline(feat, duration, seg_seq):
+        boundary, phn_end = generate_boundary_seq(
+            feat.shape[0], duration, seg_seq
+        )
+        yield boundary
+        yield phn_end
 
     for ds in datasets:
         ds.add_dynamic_item(kaldi_feat_pipeline, ["id"],
@@ -259,12 +265,12 @@ def data_io_prep(hparams):
         ds.add_dynamic_item(audio_pipeline, ["id"],
                             ["wav", "feat", "aug_wav", "aug_feat"])
         ds.add_dynamic_item(
-            flvl_pipeline_for("txt_gt_phn_seq"),
+            flvl_pipeline,
             ["feat", "aug_feat", "duration", "gt_seg_seq", "txt_gt_phn_seq"],
             ["gt_phn_seq", "flvl_gt_phn_seq", "aug_flvl_gt_phn_seq"],
         )
         ds.add_dynamic_item(
-            flvl_pipeline_for("txt_gt_cnncl_seq"),
+            flvl_pipeline,
             ["feat", "aug_feat", "duration", "gt_seg_seq", "txt_gt_cnncl_seq"],
             ["gt_cnncl_seq", "flvl_gt_cnncl_seq", "aug_flvl_gt_cnncl_seq"],
         )
@@ -276,10 +282,10 @@ def data_io_prep(hparams):
              "aug_flvl_gt_phn_seq", "aug_flvl_gt_cnncl_seq"],
             ["flvl_gt_md_lbl_seq", "aug_flvl_gt_md_lbl_seq"],
         )
-        ds.add_dynamic_item(boundary_pipeline_for(),
+        ds.add_dynamic_item(boundary_pipeline,
                             ["feat", "duration", "gt_seg_seq"],
                             ["gt_boundary_seq", "gt_phn_end_seq"])
-        ds.add_dynamic_item(boundary_pipeline_for(),
+        ds.add_dynamic_item(boundary_pipeline,
                             ["feat", "duration", "fa_seg_seq"],
                             ["fa_boundary_seq", "fa_phn_end_seq"])
 
@@ -322,11 +328,24 @@ def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
             logger.info("materialized %s: %d utts in %.1fs",
                         set_name, len(computed), time.time() - t0)
 
+    # duration-sorted data must not be shuffled (reference data_io.py:155-158
+    # sets this inside data_io_prep, i.e. ONLY on a cache miss — a cache-hit
+    # rerun silently re-enables shuffling there; we enforce it on every run)
+    if hparams.get("sorting") in ("ascending", "descending") \
+            and "train_dataloader_opts" in hparams:
+        hparams["train_dataloader_opts"]["shuffle"] = False
+
     computed_datasets = []
     for set_name in SET_NAMES:
         with open(computed_dir / f"{set_name}.pkl", "rb") as f:
             computed = pickle.load(f)
 
+        # NOTE reference-faithful cleaning semantics (data_io.py:101-131):
+        # applied to ALL THREE sets (VALID/TEST ground truth is edited by the
+        # previous model's predictions too), frame spans addressed by the
+        # PREDICTED boundary percentages for flvl_/feat keys but by GT
+        # boundary positions for boundary_ keys, and 'wav'/'aug_wav' keys
+        # left untouched.
         if hparams.get("apply_saved_md_results", False) and \
                 hparams.get("saved_md_results_model_name") is not None:
             json_path = (

@@ -92,6 +92,10 @@ class DynamicItemDataset:
                 in_flight.discard(id(item))
                 result = item.func(*args)
                 if len(item.provides) == 1:
+                    # single-provides pipelines may be generator-style too
+                    # (SpeechBrain idiom: one `yield` per provided key)
+                    if hasattr(result, "__next__"):
+                        result = next(result)
                     cache[item.provides[0]] = result
                 else:
                     # generator-style multi-output (reference pipelines yield)

@@ -262,3 +262,34 @@ def test_data_cleaning_drops_fully_excised_utterances(tmp_path, monkeypatch):
     # remaining utterances batch fine
     from mlvae_tpu.data.batch import PaddedBatch
     PaddedBatch([train[i] for i in range(min(2, len(train)))])
+
+
+def test_boundary_applier_clamps_when_collision_dropped_a_boundary():
+    """A bump-right collision can push a boundary past the last frame, so
+    the boundary seq carries fewer 1s than phonemes; flagging the LAST
+    phoneme must clamp to the tail instead of indexing past the end (the
+    reference crashes there, data_io_utils.py:301-303)."""
+    from mlvae_tpu.data.annotations import apply_boundary_saved_md_results
+
+    # 3 phonemes but only 2 boundaries survived (T=4)
+    boundary = [1, 0, 1, 0]
+    # flag phoneme 2 (no boundary of its own): nothing indexable -> clamp
+    out = apply_boundary_saved_md_results(boundary, [[2, 0.5, 1.0]])
+    assert list(out) == [1, 0, 1, 0]
+    # flag phoneme 1: spans idx_seq[1]=2 .. idx_seq[2]=len -> drops [2,4)
+    out = apply_boundary_saved_md_results(boundary, [[1, 0.5, 1.0]])
+    assert list(out) == [1, 0]
+
+
+def test_dynamic_item_single_provides_generator():
+    """SpeechBrain-style single-output pipelines may use `yield`; the
+    yielded VALUE must be cached, not the generator object."""
+    from mlvae_tpu.data.dataset import DynamicItemDataset
+
+    ds = DynamicItemDataset({"u1": {"x": 3}}, output_keys=["y"])
+
+    def pipe(x):
+        yield x * 2
+
+    ds.add_dynamic_item(pipe, ["x"], ["y"])
+    assert ds.compute_sample("u1")["y"] == 6
