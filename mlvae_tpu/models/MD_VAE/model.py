@@ -87,6 +87,7 @@ class SBModel(MDModel):
         self._init_stage_stats(stage)
 
     def _init_stage_stats(self, stage):
+        self._pending_md_results = {}
         self.stats_loggers = {}
         if stage == Stage.TRAIN or self.to_run_evaluation(stage):
             for key in self.hparams.get("metric_keys", []):
@@ -101,10 +102,30 @@ class SBModel(MDModel):
             or (stage == Stage.TEST)
 
     def on_stage_end(self, stage, stage_loss, epoch=None):
+        self._flush_md_results()
         # reference skips VALID logging/checkpointing off VAE epochs
         if stage == Stage.VALID and not self.to_run_evaluation(stage):
             return
         super().on_stage_end(stage, stage_loss, epoch)
+
+    def prepare_batch(self, batch):
+        batch = super().prepare_batch(batch)
+        # the Viterbi self-training decode needs T >= L per utterance; the
+        # reference's per-utterance decode asserts this deep in the DP
+        # (decode_utils.py:542), while the batched on-device decode would
+        # silently emit a truncated boundary seq — fail loudly at the source
+        feats, feat_lens = batch["feat"]
+        cn, cn_lens = batch["gt_cnncl_seq"]
+        t = np.round(np.asarray(feat_lens, np.float32) * feats.shape[1])
+        l = np.round(np.asarray(cn_lens, np.float32) * cn.shape[1])
+        bad = np.where(t < l)[0]
+        if len(bad):
+            ids = [batch["id"][i] for i in bad]
+            raise ValueError(
+                f"utterances with fewer frames than canonical phonemes "
+                f"(T < L), undecodable: {ids[:5]}"
+                f"{'...' if len(ids) > 5 else ''}")
+        return batch
 
     # ------------------------------------------------------------------
     # decode inside the step (device DP)
@@ -117,15 +138,9 @@ class SBModel(MDModel):
         t_lens = abs_lengths(batch["feat"][1], T)
         l_lens = abs_lengths(plvl_lens, L)
 
-        p = jax.nn.sigmoid(phn_out)
-        log_p_yx = dec.clamped_log(jnp.stack([p, 1 - p], axis=3))
-        prior = batch["prior"][0][0]
-        log_p_y = dec.clamped_log(jnp.stack([prior, 1 - prior], axis=1))
-        bv = predictions["boundary_v"]
-        log_p_b = dec.clamped_log(jnp.stack([bv, 1 - bv], axis=2))
-        # 1e-5 probability clamp before the log, like the reference's log()
-        log_p_pi = dec.clamped_log(
-            jax.nn.softmax(predictions["pi_logits"], axis=-1)
+        log_p_yx, log_p_y, log_p_b, log_p_pi = dec.build_viterbi_inputs(
+            phn_out, predictions["boundary_v"], predictions["pi_logits"],
+            batch["prior"][0][0],
         )
 
         boundary, flvl, plvl = dec.md_viterbi_batch(
@@ -288,10 +303,13 @@ class SBModel(MDModel):
             self.save_md_result(self._batch_ids, pred_boundary, pred_plvl)
 
     def save_md_result(self, utt_ids, boundary_seqs, plvl_md_seqs):
-        """Persist per-utterance mispronunciation spans for the
+        """Record per-utterance mispronunciation spans for the
         saved-MD-results data-cleaning round trip (reference
-        ``model.py:232-272`` <-> ``data_io.py:107-131``)."""
-        md_results = {}
+        ``model.py:232-272`` <-> ``data_io.py:107-131``).  Accumulated in
+        memory per stage and flushed once in ``on_stage_end`` (the
+        reference re-reads and rewrites the JSON per batch — O(n^2) at
+        corpus scale); file-merge semantics are kept at flush time so
+        ``test_on_three_sets`` accumulates all three sets' results."""
         for utt_id, boundary, md in zip(utt_ids, boundary_seqs, plvl_md_seqs):
             T = len(boundary)
             idx = np.where(np.asarray(boundary) == 1)[0].tolist() + [T]
@@ -303,8 +321,12 @@ class SBModel(MDModel):
                     warnings.warn("empty mispronunciation span")
                     continue
                 utt_results.append([int(misp_idx), start_pct, end_pct])
-            md_results[utt_id] = utt_results
+            self._pending_md_results[utt_id] = utt_results
 
+    def _flush_md_results(self):
+        md_results = getattr(self, "_pending_md_results", None)
+        if not md_results:
+            return
         save_dir = Path("datasets") / self.hparams["dataset_name"] / \
             "saved_md_results"
         save_dir.mkdir(parents=True, exist_ok=True)
@@ -316,3 +338,4 @@ class SBModel(MDModel):
             md_results = existing
         with open(save_path, "w") as f:
             json.dump(md_results, f)
+        self._pending_md_results = {}

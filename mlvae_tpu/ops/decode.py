@@ -28,7 +28,6 @@ A C++/OpenMP host decoder with identical semantics lives in
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -51,7 +50,23 @@ def clamped_log_np(x):
 # On-device batched decoder
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=())
+def build_viterbi_inputs(phn_out, boundary_v, pi_logits, prior):
+    """Decoder input construction shared by the in-step self-training path
+    (``MD_VAE._decode_on_device``) and the reference-signature wrapper
+    below: sigmoid posteriors / prior / boundary / pi all stacked into
+    [p, 1-p] pairs and clamp-logged at 1e-5 like the reference's ``log()``
+    (``decode_utils.py:8-14``)."""
+    p = jax.nn.sigmoid(jnp.asarray(phn_out))
+    log_p_yx = clamped_log(jnp.stack([p, 1 - p], axis=3))
+    prior = jnp.asarray(prior)
+    log_p_y = clamped_log(jnp.stack([prior, 1 - prior], axis=1))
+    bv = jnp.asarray(boundary_v)
+    log_p_b = clamped_log(jnp.stack([bv, 1 - bv], axis=2))
+    log_p_pi = clamped_log(jax.nn.softmax(jnp.asarray(pi_logits), axis=-1))
+    return log_p_yx, log_p_y, log_p_b, log_p_pi
+
+
+@jax.jit
 def md_viterbi_batch(
     log_p_yx,    # (B, T, N, 2) log posteriors per MD state
     log_p_y,     # (N, 2) log prior per MD state
@@ -254,15 +269,8 @@ def decode_plvl_md_lbl_seqs_full(
     L = plvl_cnnl_seqs.shape[1]
     l_lens = abs_lengths(jnp.asarray(plvl_cnnl_seq_lens), L)
 
-    p = jax.nn.sigmoid(phn_out)
-    log_p_yx = clamped_log(jnp.stack([p, 1 - p], axis=3))
-    prior = jnp.asarray(prior)
-    log_p_y = clamped_log(jnp.stack([prior, 1 - prior], axis=1))
-    bv = jnp.asarray(predictions["boundary_v"])
-    log_p_b = clamped_log(jnp.stack([bv, 1 - bv], axis=2))
-    # the reference clamps the pi probabilities at 1e-5 before the log too
-    log_p_pi = clamped_log(
-        jax.nn.softmax(jnp.asarray(predictions["pi_logits"]), axis=-1)
+    log_p_yx, log_p_y, log_p_b, log_p_pi = build_viterbi_inputs(
+        phn_out, predictions["boundary_v"], predictions["pi_logits"], prior
     )
 
     boundary, flvl, plvl = md_viterbi_batch(
