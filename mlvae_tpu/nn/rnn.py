@@ -44,8 +44,17 @@ def _lstm_cell(gates, c, H: int):
 # Brain publishes the active mesh in PALLAS_LSTM_MESH and each device runs
 # the recurrence on its local batch shard.
 PALLAS_LSTM_ENABLED = True
-PALLAS_LSTM_MESH = None          # set by the Brain when a mesh is active
+PALLAS_LSTM_MESH = None          # set by the Brain via set_pallas_mesh
 PALLAS_LSTM_DATA_AXIS = "data"
+
+
+def set_pallas_mesh(mesh) -> None:
+    """Publish (or clear, with None) the active device mesh for the Pallas
+    recurrence dispatch.  Every Brain init calls this — a later
+    single-device Brain in the same process must not inherit an earlier
+    Brain's mesh."""
+    global PALLAS_LSTM_MESH
+    PALLAS_LSTM_MESH = mesh
 
 
 def _mesh_data_size() -> int:
@@ -58,7 +67,6 @@ def _pallas_eligible(x, H: int) -> bool:
     if not PALLAS_LSTM_ENABLED:
         return False
     try:
-        import jax.core
         if jax.default_backend() != "tpu":
             return False
     except Exception:
@@ -74,8 +82,39 @@ def _pallas_eligible(x, H: int) -> bool:
             and B % (align * d) == 0 and H % 128 == 0)
 
 
+def _init_rnn_params(rng, num_layers, directions, input_size, H, n_gates,
+                     bias):
+    """torch-layout RNN parameter init shared by LSTM (n_gates=4) and GRU
+    (n_gates=3).  The key-split structure is identical with and without
+    biases so bias=True initialization stays bit-stable."""
+    params = {}
+    bound = 1.0 / math.sqrt(H)
+    idx = 0
+    for layer in range(num_layers):
+        in_size = input_size if layer == 0 else H * directions
+        for direction in range(directions):
+            sfx = f"l{layer}" + ("_reverse" if direction == 1 else "")
+            keys = jax.random.split(jax.random.fold_in(rng, idx), 4)
+            idx += 1
+            params[f"weight_ih_{sfx}"] = uniform_init(
+                keys[0], (n_gates * H, in_size), bound)
+            params[f"weight_hh_{sfx}"] = uniform_init(
+                keys[1], (n_gates * H, H), bound)
+            if bias:
+                params[f"bias_ih_{sfx}"] = uniform_init(
+                    keys[2], (n_gates * H,), bound)
+                params[f"bias_hh_{sfx}"] = uniform_init(
+                    keys[3], (n_gates * H,), bound)
+    return params
+
+
 def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     """Run one unidirectional LSTM layer over TIME-MAJOR (T, B, C) input.
+
+    ``h0``/``c0`` may be None (zero initial state).  The Pallas kernel
+    hard-codes zero initial state, so a NON-None initial state routes to
+    the scan path — passing a nonzero state into the kernel would silently
+    discard it.
 
     The whole stack runs time-major internally (one transpose at the LSTM
     entry/exit instead of a (T,B,4H)-sized transpose per layer-direction —
@@ -95,7 +134,7 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     )  # (T, B, 4H)
     H = w_hh.shape[1]
 
-    if _pallas_eligible(x, H):
+    if h0 is None and c0 is None and _pallas_eligible(x, H):
         if PALLAS_LSTM_MESH is not None:
             from mlvae_tpu.ops.lstm_pallas import sharded_lstm_layer
             pallas_lstm = sharded_lstm_layer(PALLAS_LSTM_MESH,
@@ -114,6 +153,11 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
                 c_last.astype(x.dtype))
 
     w_hh_t = w_hh.T  # (H, 4H)
+    B = x.shape[1]
+    if h0 is None:
+        h0 = jnp.zeros((B, H), x.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((B, H), x.dtype)
 
     def step(carry, gx):
         h, c = carry
@@ -136,13 +180,9 @@ def _bilstm_layer(x, w_ih_f, w_hh_f, b_f, w_ih_b, w_hh_b, b_b):
     outweighs the saved scan overhead.  Keep the simple form; a Pallas LSTM
     kernel is the real next lever.
     """
-    B = x.shape[1]
-    H = w_hh_f.shape[1]
-    z = jnp.zeros((B, H), x.dtype)
-    fwd, h_f, c_f = _lstm_layer(x, z, z, w_ih_f, w_hh_f, b_f,
-                                jnp.zeros_like(b_f))
-    bwd, h_b, c_b = _lstm_layer(x, z, z, w_ih_b, w_hh_b, b_b,
-                                jnp.zeros_like(b_b), reverse=True)
+    fwd, h_f, c_f = _lstm_layer(x, None, None, w_ih_f, w_hh_f, b_f, 0.0)
+    bwd, h_b, c_b = _lstm_layer(x, None, None, w_ih_b, w_hh_b, b_b, 0.0,
+                                reverse=True)
     return jnp.concatenate([fwd, bwd], axis=-1), [(h_f, c_f), (h_b, c_b)]
 
 
@@ -179,29 +219,13 @@ class LSTM(Module):
         return 2 if self.bidirectional else 1
 
     def init(self, rng):
-        params = {}
-        H = self.hidden_size
-        bound = 1.0 / math.sqrt(H)
-        idx = 0
-        for layer in range(self.num_layers):
-            in_size = (
-                self.input_size
-                if layer == 0
-                else H * self._directions()
-            )
-            for direction in range(self._directions()):
-                sfx = f"l{layer}" + ("_reverse" if direction == 1 else "")
-                keys = jax.random.split(jax.random.fold_in(rng, idx), 4)
-                idx += 1
-                params[f"weight_ih_{sfx}"] = uniform_init(
-                    keys[0], (4 * H, in_size), bound
-                )
-                params[f"weight_hh_{sfx}"] = uniform_init(
-                    keys[1], (4 * H, H), bound
-                )
-                params[f"bias_ih_{sfx}"] = uniform_init(keys[2], (4 * H,), bound)
-                params[f"bias_hh_{sfx}"] = uniform_init(keys[3], (4 * H,), bound)
-        return params
+        return _init_rnn_params(rng, self.num_layers, self._directions(),
+                                self.input_size, self.hidden_size, 4,
+                                self.bias)
+
+    def _bias(self, params, name):
+        # torch bias=False: no bias params exist and none are added
+        return params[name] if self.bias else 0.0
 
     def apply(self, params, x, rng=None, train: bool = False, **kwargs):
         assert self.batch_first, "only batch_first=True is supported"
@@ -219,24 +243,23 @@ class LSTM(Module):
                     out,
                     params[f"weight_ih_l{layer}"],
                     params[f"weight_hh_l{layer}"],
-                    params[f"bias_ih_l{layer}"] + params[f"bias_hh_l{layer}"],
+                    self._bias(params, f"bias_ih_l{layer}")
+                    + self._bias(params, f"bias_hh_l{layer}"),
                     params[f"weight_ih_l{layer}_reverse"],
                     params[f"weight_hh_l{layer}_reverse"],
-                    params[f"bias_ih_l{layer}_reverse"]
-                    + params[f"bias_hh_l{layer}_reverse"],
+                    self._bias(params, f"bias_ih_l{layer}_reverse")
+                    + self._bias(params, f"bias_hh_l{layer}_reverse"),
                 )
                 for h_f, c_f in finals:
                     last_h.append(h_f)
                     last_c.append(c_f)
             else:
-                h0 = jnp.zeros((B, H), out.dtype)
-                c0 = jnp.zeros((B, H), out.dtype)
                 out, h_last, c_last = _lstm_layer(
-                    out, h0, c0,
+                    out, None, None,
                     params[f"weight_ih_l{layer}"],
                     params[f"weight_hh_l{layer}"],
-                    params[f"bias_ih_l{layer}"],
-                    params[f"bias_hh_l{layer}"],
+                    self._bias(params, f"bias_ih_l{layer}"),
+                    self._bias(params, f"bias_hh_l{layer}"),
                 )
                 last_h.append(h_last)
                 last_c.append(c_last)
@@ -265,7 +288,8 @@ def _gru_layer(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         + b_ih
     )  # (T, B, 3H)
 
-    if _pallas_eligible(x, H):
+    # the Pallas kernel hard-codes zero initial state (see _lstm_layer)
+    if h0 is None and _pallas_eligible(x, H):
         if PALLAS_LSTM_MESH is not None:
             from mlvae_tpu.ops.gru_pallas import sharded_gru_layer
             pallas_gru = sharded_gru_layer(PALLAS_LSTM_MESH,
@@ -278,6 +302,8 @@ def _gru_layer(x, h0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         return hs.astype(x.dtype), h_last.astype(x.dtype)
 
     w_hh_t = w_hh.T  # (H, 3H)
+    if h0 is None:
+        h0 = jnp.zeros((x.shape[1], H), x.dtype)
 
     def step(h, gx):
         gh = h @ w_hh_t + b_hh
@@ -315,26 +341,14 @@ class GRU(Module):
         return 2 if self.bidirectional else 1
 
     def init(self, rng):
-        params = {}
-        H = self.hidden_size
-        bound = 1.0 / math.sqrt(H)
-        idx = 0
-        for layer in range(self.num_layers):
-            in_size = (self.input_size if layer == 0
-                       else H * self._directions())
-            for direction in range(self._directions()):
-                sfx = f"l{layer}" + ("_reverse" if direction == 1 else "")
-                keys = jax.random.split(jax.random.fold_in(rng, idx), 4)
-                idx += 1
-                params[f"weight_ih_{sfx}"] = uniform_init(
-                    keys[0], (3 * H, in_size), bound)
-                params[f"weight_hh_{sfx}"] = uniform_init(
-                    keys[1], (3 * H, H), bound)
-                params[f"bias_ih_{sfx}"] = uniform_init(
-                    keys[2], (3 * H,), bound)
-                params[f"bias_hh_{sfx}"] = uniform_init(
-                    keys[3], (3 * H,), bound)
-        return params
+        return _init_rnn_params(rng, self.num_layers, self._directions(),
+                                self.input_size, self.hidden_size, 3,
+                                self.bias)
+
+    def _bias_arr(self, params, name, dtype):
+        if self.bias:
+            return params[name]
+        return jnp.zeros((3 * self.hidden_size,), dtype)
 
     def apply(self, params, x, rng=None, train: bool = False, **kwargs):
         assert self.batch_first, "only batch_first=True is supported"
@@ -346,26 +360,28 @@ class GRU(Module):
         out = jnp.swapaxes(x, 0, 1)  # (T, B, C)
         last_h = []
         for layer in range(self.num_layers):
-            z = jnp.zeros((B, H), out.dtype)
             if self.bidirectional:
                 sfx = f"l{layer}"
                 fwd, h_f = _gru_layer(
-                    out, z, params[f"weight_ih_{sfx}"],
+                    out, None, params[f"weight_ih_{sfx}"],
                     params[f"weight_hh_{sfx}"],
-                    params[f"bias_ih_{sfx}"], params[f"bias_hh_{sfx}"])
+                    self._bias_arr(params, f"bias_ih_{sfx}", out.dtype),
+                    self._bias_arr(params, f"bias_hh_{sfx}", out.dtype))
                 bwd, h_b = _gru_layer(
-                    out, z, params[f"weight_ih_{sfx}_reverse"],
+                    out, None, params[f"weight_ih_{sfx}_reverse"],
                     params[f"weight_hh_{sfx}_reverse"],
-                    params[f"bias_ih_{sfx}_reverse"],
-                    params[f"bias_hh_{sfx}_reverse"], reverse=True)
+                    self._bias_arr(params, f"bias_ih_{sfx}_reverse",
+                                   out.dtype),
+                    self._bias_arr(params, f"bias_hh_{sfx}_reverse",
+                                   out.dtype), reverse=True)
                 out = jnp.concatenate([fwd, bwd], axis=-1)
                 last_h.extend([h_f, h_b])
             else:
                 out, h_last = _gru_layer(
-                    out, z, params[f"weight_ih_l{layer}"],
+                    out, None, params[f"weight_ih_l{layer}"],
                     params[f"weight_hh_l{layer}"],
-                    params[f"bias_ih_l{layer}"],
-                    params[f"bias_hh_l{layer}"])
+                    self._bias_arr(params, f"bias_ih_l{layer}", out.dtype),
+                    self._bias_arr(params, f"bias_hh_l{layer}", out.dtype))
                 last_h.append(h_last)
             if layer < self.num_layers - 1 and self.dropout > 0 and train:
                 out = dropout(stream.next(), out, self.dropout, train)

@@ -140,14 +140,29 @@ MAX_B_BLOCK = 64  # VMEM budget per batch block (v5e: 128 fits only when the
                   # pipeline buffer that tips 16 MB)
 
 
-def _b_block(B: int, cap: int = 128) -> int:
-    """Largest batch block <= cap that divides B (single block when B <= cap:
-    no transition buffer, fastest).  Must always return an exact divisor —
-    the grid is (B // BB, T), so a non-divisor would silently leave the
-    trailing batch rows uncomputed."""
+def _sublane(dtype) -> int:
+    """Sublane tile rows for the dtype (f32: 8, bf16: 16)."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
+def _b_block(B: int, cap: int = 128, align: int = 8) -> int:
+    """Largest batch block <= cap that divides B AND is a multiple of the
+    dtype's sublane tile (single block when B <= cap: no transition buffer,
+    fastest).  Must always return an exact divisor — the grid is
+    (B // BB, T), so a non-divisor would silently leave trailing batch rows
+    uncomputed.  A non-tile-multiple block would start blocks at misaligned
+    batch offsets (e.g. B=144 bf16 -> 72), which Mosaic either rejects or
+    pads — on the REAL dispatch path an aligned divisor always exists
+    because ``_pallas_eligible`` guarantees B % align == 0 (``align``
+    itself then qualifies); for arbitrary B (interpret-mode tests) fall
+    back to the largest plain divisor, which is still exact."""
     if B <= cap:
         return B
-    return next(blk for blk in range(cap, 0, -1) if B % blk == 0)
+    blk = next((b for b in range(cap, 0, -1)
+                if B % b == 0 and b % align == 0), None)
+    if blk is None:
+        blk = next(b for b in range(cap, 0, -1) if B % b == 0)
+    return blk
 
 
 def _b_block_bwd(B: int, dtype) -> int:
@@ -158,7 +173,7 @@ def _b_block_bwd(B: int, dtype) -> int:
     tips it into a compile-time OOM — so f32 caps at MAX_B_BLOCK; bf16
     streams keep the fast single-block grid up to B=128."""
     cap = MAX_B_BLOCK if jnp.dtype(dtype).itemsize >= 4 else 128
-    return _b_block(B, cap)
+    return _b_block(B, cap, _sublane(dtype))
 
 
 def _time_map(T: int, flipped: bool):
@@ -178,7 +193,7 @@ def _run_fwd(gates_x, w_hh, reverse: bool, interpret: bool):
     maps; outputs are scattered back to natural positions (no flips)."""
     T, B, G = gates_x.shape
     H = G // 4
-    BB = _b_block(B)
+    BB = _b_block(B, align=_sublane(gates_x.dtype))
     whh_t = w_hh.T  # (H, 4H)
     tm = _time_map(T, reverse)
     hs, cs = pl.pallas_call(

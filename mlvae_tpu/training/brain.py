@@ -124,12 +124,14 @@ class Brain:
                 from mlvae_tpu.parallel.mesh import make_mesh
                 self.mesh = make_mesh(n)
                 logger.info("data-parallel over %d devices", self.mesh.size)
-            # GSPMD cannot partition the Pallas LSTM custom call itself;
-            # publish the mesh so the LSTM launches its kernels per-shard
-            # through jax.shard_map (nn/rnn._pallas_eligible &
-            # ops/lstm_pallas.sharded_lstm_layer)
-            from mlvae_tpu.nn import rnn as _rnn
-            _rnn.PALLAS_LSTM_MESH = self.mesh
+        # GSPMD cannot partition the Pallas LSTM custom call itself; publish
+        # the mesh so the LSTM launches its kernels per-shard through
+        # jax.shard_map (nn/rnn._pallas_eligible &
+        # ops/lstm_pallas.sharded_lstm_layer).  Published UNCONDITIONALLY —
+        # a later single-device Brain in the same process must clear a
+        # previous Brain's mesh.
+        from mlvae_tpu.nn.rnn import set_pallas_mesh
+        set_pallas_mesh(self.mesh)
         self.params: Optional[Dict[str, Any]] = None
         self.states: Dict[str, Any] = {}
         self.optimizers: Dict[str, Tuple[Any, Optional[List[str]]]] = {}

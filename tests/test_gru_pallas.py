@@ -97,3 +97,50 @@ def test_sharded_pallas_gru_matches_scan():
         rel = float(jnp.abs(a - b_).max()
                     / jnp.maximum(jnp.abs(b_).max(), 1e-8))
         assert rel < 1e-5, rel
+
+
+def test_pallas_gru_bf16_backward_uses_f32_carry():
+    """Under AMP the backward must reconstruct the elementwise dh chain
+    from the EXACT f32 carry trajectory (saved as a second forward output),
+    not the bf16-rounded hs — mirroring the LSTM kernel's f32 cs design.
+    The gradient w.r.t. an upstream sum must track the 'AMP-exact' oracle
+    (f32 carry, bf16 dots) far tighter than the bf16-carry drift bound."""
+    rs = np.random.RandomState(7)
+    T, B, H = 40, 16, 16
+    gx32 = jnp.asarray(rs.randn(T, B, 3 * H) * 0.5, jnp.float32)
+    w = jnp.asarray(rs.randn(3 * H, H) * 0.3, jnp.float32)
+    b = jnp.asarray(rs.randn(3 * H) * 0.1, jnp.float32)
+    w16 = w.astype(jnp.bfloat16)
+
+    def amp_exact_scan(gx, ww, bb):
+        """Oracle: f32 carry, dots through bf16 casts exactly as the kernel
+        runs them; autodiff gives the exact AMP gradients."""
+        H_ = ww.shape[1]
+
+        def step(h, gx_t):
+            gh = (h.astype(jnp.bfloat16) @ ww.astype(jnp.bfloat16).T
+                  ).astype(jnp.float32) + bb
+            r = jax.nn.sigmoid(gx_t[:, :H_].astype(jnp.float32)
+                               + gh[:, :H_])
+            z = jax.nn.sigmoid(gx_t[:, H_:2 * H_].astype(jnp.float32)
+                               + gh[:, H_:2 * H_])
+            n = jnp.tanh(gx_t[:, 2 * H_:].astype(jnp.float32)
+                         + r * gh[:, 2 * H_:])
+            h = (1.0 - z) * n + z * h
+            return h, h
+
+        _, hs = jax.lax.scan(step, jnp.zeros((gx.shape[1], H_)), gx)
+        return hs
+
+    def loss_pallas(gx, ww):
+        return jnp.sum(gru_layer(gx.astype(jnp.bfloat16), ww, b, False,
+                                 True).astype(jnp.float32) ** 2)
+
+    def loss_oracle(gx, ww):
+        return jnp.sum(amp_exact_scan(gx.astype(jnp.bfloat16), ww, b) ** 2)
+
+    g_p = jax.grad(loss_pallas, argnums=1)(gx32, w16).astype(jnp.float32)
+    g_o = jax.grad(loss_oracle, argnums=1)(gx32, w16).astype(jnp.float32)
+    rel = float(jnp.abs(g_p - g_o).max() / (jnp.abs(g_o).max() + 1e-9))
+    # bf16 output cotangents round at ~4e-3; the dh CHAIN itself is exact
+    assert rel < 0.02, rel

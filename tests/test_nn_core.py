@@ -94,3 +94,28 @@ def test_lstm_hn_cn_match_torch():
                                    rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(c_n), tc.numpy(),
                                    rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("cls_name", ["LSTM", "GRU"])
+def test_rnn_bias_false_matches_torch(cls_name):
+    """torch constructor parity for bias=False: no bias params are created
+    or added (previously the flag was stored but silently ignored)."""
+    from mlvae_tpu.nn.rnn import GRU
+    B, T, C, H = 2, 7, 5, 8
+    cls = LSTM if cls_name == "LSTM" else GRU
+    tcls = torch.nn.LSTM if cls_name == "LSTM" else torch.nn.GRU
+    rnn = cls(C, H, num_layers=2, batch_first=True, bidirectional=True,
+              bias=False)
+    params = rnn.init(jax.random.PRNGKey(3))
+    assert not any(k.startswith("bias") for k in params)
+    x = np.random.RandomState(4).randn(B, T, C).astype(np.float32)
+    out = rnn.apply(params, jnp.asarray(x))[0]
+
+    tl = tcls(C, H, num_layers=2, batch_first=True, bidirectional=True,
+              bias=False)
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in params.items()}
+    tl.load_state_dict(sd)
+    with torch.no_grad():
+        tout = tl(torch.from_numpy(x))[0]
+    np.testing.assert_allclose(np.asarray(out), tout.numpy(),
+                               rtol=2e-4, atol=2e-5)
