@@ -59,8 +59,18 @@ def parse_arguments(args: List[str]) -> Tuple[str, Dict, str]:
                 if not has_value:
                     raise ValueError(f"run option --{key} needs a value")
                 raw = rest[i + 1]
-                run_opts[key] = (raw.lower() in ("1", "true", "yes")) \
-                    if typ is bool else typ(raw)
+                if typ is bool:
+                    lowered = raw.lower()
+                    if lowered in ("1", "true", "yes", "on"):
+                        run_opts[key] = True
+                    elif lowered in ("0", "false", "no", "off"):
+                        run_opts[key] = False
+                    else:
+                        # a typo ('ture') must not silently become False
+                        raise ValueError(
+                            f"--{key} expects a boolean, got {raw!r}")
+                else:
+                    run_opts[key] = typ(raw)
                 i += 2
         else:
             if not has_value:

@@ -30,12 +30,19 @@ def _apply_device_opt(run_opts: Dict) -> None:
         return
     import jax
 
-    platform = device.split(":")[0]
+    platform, _, index = device.partition(":")
     if platform in ("cuda", "gpu"):  # reference default naming; jax: 'gpu'
         platform = "gpu"
     if platform in ("cpu", "gpu", "tpu"):
         jax.config.update("jax_platforms", platform)
         logger.info("device run_opt: jax platform forced to %r", platform)
+        if index and index != "0":
+            # jax picks its default device per process; honoring an index
+            # requires CUDA_VISIBLE_DEVICES before backend init
+            logger.warning(
+                "device index %r is ignored (jax selects the default %s "
+                "device); restrict devices with CUDA_VISIBLE_DEVICES=%s",
+                index, platform, index)
 
 
 def prepare_experiment(args: List[str], prepare_exp_dir: bool = True) -> Dict:
@@ -59,10 +66,23 @@ def prepare_experiment(args: List[str], prepare_exp_dir: bool = True) -> Dict:
     if prepare_exp_dir and "output_dir" in hparams:
         out_dir = Path(hparams["output_dir"])
         out_dir.mkdir(parents=True, exist_ok=True)
+        # save the OVERRIDES-RESOLVED yaml (reference parity: SpeechBrain's
+        # create_experiment_directory records the actual run config, not the
+        # raw input file — re-running from the saved file must reproduce
+        # THIS experiment).  Constructor tags are preserved unmaterialized.
         try:
-            shutil.copy(hparams_file, out_dir / "hyperparams.yaml")
-        except shutil.SameFileError:
-            pass
+            from mlvae_tpu.hyperyaml import resolve_references
+            with open(hparams_file) as fin:
+                resolved = resolve_references(
+                    fin, [extra_overrides, overrides])
+            (out_dir / "hyperparams.yaml").write_text(resolved.read())
+        except Exception:
+            logger.exception("could not dump resolved hyperparams; "
+                             "copying the raw file instead")
+            try:
+                shutil.copy(hparams_file, out_dir / "hyperparams.yaml")
+            except shutil.SameFileError:
+                pass
 
     prepared = {"hparams": hparams, "run_opts": run_opts}
 

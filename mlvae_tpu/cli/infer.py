@@ -58,6 +58,9 @@ def infer(model, hparams, label_encoder, wav_path, canonical_phonemes,
         model.init_params()
     model.on_evaluate_start(max_key=hparams["model"].get("max_key"),
                             min_key=hparams["model"].get("min_key"))
+    # prepare_batch enforces the decode's T >= L precondition (a too-short
+    # wav would otherwise yield a silently truncated boundary sequence)
+    batch = model.prepare_batch(batch)
     dev_batch = model.to_device_batch(batch)
     model.ensure_states(int(feats.shape[1]))
     model._batch_ids = batch["id"]
@@ -73,11 +76,14 @@ def infer(model, hparams, label_encoder, wav_path, canonical_phonemes,
     hop_s = hparams["hop_length"] / 1000.0
     results = []
     for i, phn in enumerate(canonical_phonemes):
-        start = float(starts[i]) * hop_s if i < len(starts) else 0.0
+        decoded = i < len(starts) and i < len(plvl)
         results.append({
             "phoneme": phn,
-            "start_sec": round(start, 3),
-            "mispronounced": bool(plvl[i]) if i < len(plvl) else False,
+            # None marks an undecoded phoneme honestly; a fabricated 0.0
+            # would read as a real (non-monotonic) timestamp
+            "start_sec": round(float(starts[i]) * hop_s, 3)
+            if decoded else None,
+            "mispronounced": bool(plvl[i]) if decoded else None,
         })
     return results
 

@@ -28,9 +28,20 @@ def ingest(src_dir, dst_dir, rate: int = 16000) -> int:
 
     src_dir, dst_dir = Path(src_dir), Path(dst_dir)
     n = 0
-    for path in sorted(src_dir.rglob("*.wav")) + sorted(src_dir.rglob("*.WAV")):
+    # one suffix-insensitive pass: two rglob patterns would double-process
+    # every file on case-insensitive filesystems
+    paths = sorted(p for p in src_dir.rglob("*")
+                   if p.is_file() and p.suffix.lower() == ".wav")
+    seen_out = set()
+    for path in paths:
         rel = path.relative_to(src_dir)
         out_path = (dst_dir / rel).with_suffix(".wav")
+        if out_path in seen_out:
+            logger.warning(
+                "skipping %s: output %s already written by a sibling that "
+                "differs only in suffix case", path, out_path)
+            continue
+        seen_out.add(out_path)
         if lib is not None:
             wave, sr = native.read_wav(path)
             if sr != rate:

@@ -19,7 +19,9 @@ def main(argv=None):
     extra_overrides = overrides.pop("extra_overrides", {}) or {}
     with open(hparams_file) as fin:
         hparams = load_hyperyaml(fin, [extra_overrides, overrides])
-    recursive_update(hparams, extra_overrides)
+    # keep_objects: this re-merge runs AFTER materialization — a dict
+    # override must not clobber a constructed object (see experiment.py)
+    recursive_update(hparams, extra_overrides, keep_objects=True)
 
     import importlib
     prepare_mod = importlib.import_module(

@@ -769,7 +769,9 @@ class Brain:
 
         from mlvae_tpu.utils.profiling import StepTimer, trace
         profile = bool(self.run_opts.get("profile", False))
-        self.step_timer = StepTimer()
+        self.step_timer = StepTimer(
+            hop_seconds=float(self.hparams.get("hop_length", 20)) / 1000.0
+        )
 
         try:
             self._fit_epochs(epoch_counter, train_loader, valid_loader,
@@ -829,6 +831,10 @@ class Brain:
                 self.avg_train_loss, wall,
                 total_audio / max(wall, 1e-9),
             )
+            if profile and "output_dir" in self.hparams:
+                # per-epoch p50/p90/compile step timings (--profile)
+                self.step_timer.write(
+                    Path(self.hparams["output_dir"]) / "step_times.jsonl")
             self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
 
             if valid_loader is not None:

@@ -42,8 +42,14 @@ def _repair_orphans(cache_path: Path) -> None:
 
             lock = filelock.FileLock(str(cache_path / ".lockfile"))
             lock.acquire(timeout=5)
+        except ImportError:
+            lock = None  # no filelock available: lone-process best effort
         except Exception:
-            lock = None  # best effort: still sweep, matching jax's reader
+            # another process holds the lock (likely mid-put: entry written,
+            # sidecar pending) — sweeping unlocked could delete its healthy
+            # entry.  Skip; the next process to start will sweep.
+            logger.info("compile-cache busy; skipping orphan sweep")
+            return
         try:
             for entry in cache_path.glob("*-cache"):
                 sidecar = cache_path / (entry.name[:-len("-cache")] + "-atime")

@@ -44,3 +44,38 @@ def test_test_on_three_sets(tmp_path, monkeypatch):
     model = three_cli.main(args)
     out = tmp_path / "results/three_sets/test_output/test_metrics.txt"
     assert out.exists()
+
+
+def test_bool_run_opt_rejects_typos():
+    from mlvae_tpu.cli.args import parse_arguments
+
+    with pytest.raises(ValueError, match="expects a boolean"):
+        parse_arguments(["config.yaml", "--debug", "ture"])
+    _, run_opts, _ = parse_arguments(
+        ["config.yaml", "--debug", "True", "--bf16", "off"])
+    assert run_opts["debug"] is True and run_opts["bf16"] is False
+
+
+def test_saved_hyperparams_record_overrides(tmp_path, monkeypatch):
+    """The experiment dir must record the ACTUAL run config: the saved
+    hyperparams.yaml has CLI overrides and extra_overrides applied
+    (reference parity with sb.create_experiment_directory)."""
+    monkeypatch.chdir(tmp_path)
+    from mlvae_tpu.cli import train as train_cli
+
+    REPO = Path(__file__).resolve().parent.parent
+    model_yaml = REPO / "mlvae_tpu/models/test_vanilla_vae/model.yaml"
+    train_cli.main([
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", "test_vanilla_vae",
+        "--model_name", "ovr_record",
+        "--model", f"!include:{model_yaml}",
+        "--extra_overrides", "{model: {n_epochs: 1}}",
+        "--debug", "--debug_batches", "1",
+    ])
+    text = (tmp_path / "results/ovr_record/hyperparams.yaml").read_text()
+    assert "n_epochs: 1" in text
+    assert "model_class: test_vanilla_vae" in text
