@@ -16,8 +16,10 @@ Interface parity with the reference wrapper: called on raw ``(B, L)``
 waveforms, returns ``(B, T, hidden)`` at one frame per 320 samples (conv
 stack kernels/strides (10,3,3,3,3,2,2)/(5,2,2,2,2,2,2)) so frame counts line
 up with the reference's fbank-length padding (``w2v_MD_VAE/model.py:35-40``);
-``normalize_wav`` applies the HF processor's per-utterance zero-mean/unit-var;
-``output_norm`` layer-normalizes the output frames (SB wrapper behavior).
+``normalize_wav`` and ``output_norm`` reproduce the SB wrapper's
+``F.layer_norm(x, x.shape)`` semantics — ONE mean/var over the entire
+padded batch tensor (a reference quirk: statistics couple across the batch
+and its padding), not per-utterance stats.
 ``freeze: True`` (the flagship setting) stops gradients and is additionally
 excluded from optimizers by the recipes' optimizer routing.
 
@@ -65,6 +67,16 @@ _LARGE_ARCH = dict(
 
 def _gelu(x):
     return jax.nn.gelu(x, approximate=False)  # HF uses exact erf gelu
+
+
+def _whole_tensor_norm(x, eps: float):
+    """``F.layer_norm(x, x.shape)``: one mean/var over EVERY element of the
+    tensor, batch and padding included — the SpeechBrain wrapper applies
+    this to both the input waveform and the encoder output; f32 stats."""
+    xf = jnp.asarray(x, jnp.float32)
+    m = xf.mean()
+    v = ((xf - m) ** 2).mean()
+    return ((xf - m) * jax.lax.rsqrt(v + eps)).astype(x.dtype)
 
 
 def _ln(x, scale, bias, eps):
@@ -124,6 +136,12 @@ class Wav2Vec2Encoder(Module):
             num_conv_pos_embedding_groups = \
                 hf_cfg.num_conv_pos_embedding_groups
             layer_norm_eps = hf_cfg.layer_norm_eps
+            hidden_dropout = getattr(hf_cfg, "hidden_dropout",
+                                     hidden_dropout)
+            feat_proj_dropout = getattr(hf_cfg, "feat_proj_dropout",
+                                        feat_proj_dropout)
+            attention_dropout = getattr(hf_cfg, "attention_dropout",
+                                        attention_dropout)
             if hf_cfg.hidden_size != output_size:
                 logger.warning(
                     "wav2vec2 snapshot hidden_size=%d overrides "
@@ -139,8 +157,6 @@ class Wav2Vec2Encoder(Module):
                             num_hidden_layers=2,
                             num_attention_heads=max(1, output_size // 32),
                             intermediate_size=4 * output_size)
-            arch["hidden_size"] = arch["hidden_size"] if hidden_size is None \
-                else int(hidden_size)
         # explicit kwargs always win
         for k, v in [("hidden_size", hidden_size),
                      ("num_hidden_layers", num_hidden_layers),
@@ -172,11 +188,15 @@ class Wav2Vec2Encoder(Module):
         self.feat_proj_dropout = float(feat_proj_dropout)
         self.attention_dropout = float(attention_dropout)
         if self.hidden_size % self.num_attention_heads:
-            raise ValueError("hidden_size must divide num_attention_heads")
+            raise ValueError(
+                f"num_attention_heads ({self.num_attention_heads}) must "
+                f"divide hidden_size ({self.hidden_size})")
 
-        self._pretrained = self._try_load_pretrained() \
-            if hf_cfg is not None else None
-        self._pretrained_loaded = self._pretrained is not None
+        # weights load lazily in init() and the host copy is released after
+        # transfer — wav2vec2-large is ~1.2 GB of numpy that must not stay
+        # pinned for the Brain's lifetime alongside the device copy
+        self._has_snapshot = hf_cfg is not None
+        self._pretrained_loaded = False
 
     # ------------------------------------------------------------------ HF
     def _candidate_sources(self):
@@ -217,8 +237,13 @@ class Wav2Vec2Encoder(Module):
 
     # ---------------------------------------------------------------- init
     def init(self, rng):
-        if self._pretrained is not None:
-            return jax.tree_util.tree_map(jnp.asarray, self._pretrained)
+        if self._has_snapshot:
+            pre = self._try_load_pretrained()
+            if pre is not None:
+                self._pretrained_loaded = True
+                out = jax.tree_util.tree_map(jnp.asarray, pre)
+                del pre  # release the host numpy copy
+                return out
         H, I, L = self.hidden_size, self.intermediate_size, \
             self.num_hidden_layers
         ks = iter(jax.random.split(rng, 64))
@@ -309,7 +334,7 @@ class Wav2Vec2Encoder(Module):
             y = y[:, :-1]
         return _gelu(y)
 
-    def _attention(self, lp, h):
+    def _attention(self, lp, h, key, train):
         B, T, H = h.shape
         nh = self.num_attention_heads
         hd = H // nh
@@ -320,8 +345,13 @@ class Wav2Vec2Encoder(Module):
         q = heads(h @ lp["q_w"] + lp["q_b"]) * (hd ** -0.5)
         k = heads(h @ lp["k_w"] + lp["k_b"])
         v = heads(h @ lp["v_w"] + lp["v_b"])
-        scores = jnp.einsum("bqnd,bknd->bnqk", q, k)
+        # scores/softmax in f32 (torch autocast puts softmax on the fp32
+        # list); the value contraction returns to the stream dtype
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                            preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(scores, axis=-1)
+        attn = self._dropout_key(attn, self.attention_dropout, key, train)
+        attn = attn.astype(h.dtype)
         out = jnp.einsum("bnqk,bknd->bqnd", attn, v).reshape(B, T, H)
         return out @ lp["o_w"] + lp["o_b"]
 
@@ -334,24 +364,42 @@ class Wav2Vec2Encoder(Module):
         h = self._dropout(h, self.hidden_dropout, stream, train)
 
         stable = self.do_stable_layer_norm
+        L = self.num_hidden_layers
+        dropping = train and stream is not None
+        # per-layer dropout keys ride the scan as an xs input (4 draws per
+        # layer: attention probs, post-attention, activation, FFN output —
+        # the HF Wav2Vec2EncoderLayer/Wav2Vec2FeedForward dropout sites)
+        if dropping:
+            layer_keys = jax.random.split(stream.next(), L * 4).reshape(
+                L, 4, 2)
+        else:
+            layer_keys = jnp.zeros((L, 4, 2), jnp.uint32)
 
-        def body(h, lp):
+        def ffn(h_in, lp, keys):
+            f = _gelu(h_in @ lp["ff_in_w"] + lp["ff_in_b"])
+            f = self._dropout_key(f, self.hidden_dropout, keys[2], dropping)
+            f = f @ lp["ff_out_w"] + lp["ff_out_b"]
+            return self._dropout_key(f, self.hidden_dropout, keys[3],
+                                     dropping)
+
+        def body(h, xs):
+            lp, keys = xs
             if stable:  # pre-LN (large-lv60)
-                a = self._attention(lp, _ln(h, lp["ln1_s"], lp["ln1_b"], eps))
+                a = self._attention(lp, _ln(h, lp["ln1_s"], lp["ln1_b"], eps),
+                                    keys[0], dropping)
+                a = self._dropout_key(a, self.hidden_dropout, keys[1],
+                                      dropping)
                 h = h + a
-                f = _ln(h, lp["ln2_s"], lp["ln2_b"], eps)
-                f = (_gelu(f @ lp["ff_in_w"] + lp["ff_in_b"])
-                     @ lp["ff_out_w"] + lp["ff_out_b"])
-                h = h + f
+                h = h + ffn(_ln(h, lp["ln2_s"], lp["ln2_b"], eps), lp, keys)
             else:  # post-LN (base)
-                h = _ln(h + self._attention(lp, h),
-                        lp["ln1_s"], lp["ln1_b"], eps)
-                f = (_gelu(h @ lp["ff_in_w"] + lp["ff_in_b"])
-                     @ lp["ff_out_w"] + lp["ff_out_b"])
-                h = _ln(h + f, lp["ln2_s"], lp["ln2_b"], eps)
+                a = self._attention(lp, h, keys[0], dropping)
+                a = self._dropout_key(a, self.hidden_dropout, keys[1],
+                                      dropping)
+                h = _ln(h + a, lp["ln1_s"], lp["ln1_b"], eps)
+                h = _ln(h + ffn(h, lp, keys), lp["ln2_s"], lp["ln2_b"], eps)
             return h, None
 
-        h, _ = jax.lax.scan(body, h, params["layers"])
+        h, _ = jax.lax.scan(body, h, (params["layers"], layer_keys))
         if stable:
             h = _ln(h, en["scale"], en["bias"], eps)
         return h
@@ -359,18 +407,23 @@ class Wav2Vec2Encoder(Module):
     def _dropout(self, x, rate, stream, on):
         if not on or rate <= 0.0 or stream is None:
             return x
+        return self._dropout_key(x, rate, stream.next(), True)
+
+    def _dropout_key(self, x, rate, key, on):
+        if not on or rate <= 0.0:
+            return x
         keep = 1.0 - rate
-        mask = jax.random.bernoulli(stream.next(), keep, x.shape)
-        return jnp.where(mask, x / keep, 0.0)
+        mask = jax.random.bernoulli(jnp.asarray(key, jnp.uint32), keep,
+                                    x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
     def apply(self, params, wavs, rng=None, train: bool = False, **kwargs):
         x = jnp.asarray(wavs)
         if self.normalize_wav:
-            # HF Wav2Vec2FeatureExtractor do_normalize semantics; f32 stats
-            xf = jnp.asarray(x, jnp.float32)
-            m = xf.mean(axis=-1, keepdims=True)
-            v = ((xf - m) ** 2).mean(axis=-1, keepdims=True)
-            x = ((xf - m) * jax.lax.rsqrt(v + 1e-7)).astype(x.dtype)
+            # SB wrapper semantics: F.layer_norm(wav, wav.shape) — ONE
+            # mean/var over the whole padded batch tensor (reference quirk;
+            # per-utterance stats would NOT match the reference features)
+            x = _whole_tensor_norm(x, eps=1e-5)
         if self.freeze:
             params = jax.lax.stop_gradient(params)
         train = train and not self.freeze
@@ -383,10 +436,8 @@ class Wav2Vec2Encoder(Module):
         h = self._dropout(h, self.feat_proj_dropout, stream, train)
         h = self._encoder(params, h, stream, train)
         if self.output_norm:
-            hf = jnp.asarray(h, jnp.float32)
-            m = hf.mean(axis=-1, keepdims=True)
-            v = ((hf - m) ** 2).mean(axis=-1, keepdims=True)
-            h = ((hf - m) * jax.lax.rsqrt(v + 1e-5)).astype(h.dtype)
+            # SB wrapper: F.layer_norm(out, out.shape) — whole-tensor stats
+            h = _whole_tensor_norm(h, eps=1e-5)
         return h
 
     def __call__(self, *args, **kwargs):
@@ -396,6 +447,13 @@ class Wav2Vec2Encoder(Module):
         for k, s in zip(self.conv_kernel, self.conv_stride):
             n = (n - k) // s + 1
         return n
+
+    def partition_specs(self, params):
+        """Tensor-parallel placement hook consumed by Brain param placement
+        when a 'model' mesh axis is active (Megatron column/row split of
+        the transformer trunk; see parallel/tp.py)."""
+        from mlvae_tpu.parallel.tp import wav2vec2_partition_specs
+        return wav2vec2_partition_specs(params)
 
 
 def params_from_hf_model(model) -> Dict[str, Any]:
@@ -468,13 +526,3 @@ def conv_output_length(n: int,
     for k, s in zip(kernels, strides):
         n = (n - k) // s + 1
     return n
-
-
-# --- tensor parallelism hook (used by Brain placement when a 'model' mesh
-# axis is active; see mlvae_tpu/parallel/tp.py for the split) -------------
-def _partition_specs(self, params):
-    from mlvae_tpu.parallel.tp import wav2vec2_partition_specs
-    return wav2vec2_partition_specs(params)
-
-
-Wav2Vec2Encoder.partition_specs = _partition_specs

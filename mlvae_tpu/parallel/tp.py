@@ -48,6 +48,10 @@ def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
     which jax.devices() order gives on TPU slices."""
     if devices is None:
         devices = jax.devices()
+    if len(devices) < n_data * n_model:
+        raise ValueError(
+            f"mesh (data={n_data}, model={n_model}) needs "
+            f"{n_data * n_model} devices, only {len(devices)} available")
     devices = np.asarray(devices[: n_data * n_model])
     return Mesh(devices.reshape(n_data, n_model), (DATA_AXIS, MODEL_AXIS))
 

@@ -422,12 +422,12 @@ class Brain:
         shuffle = bool(kwargs.pop("shuffle", False)) and stage == Stage.TRAIN
         return DataLoader(dataset, shuffle=shuffle, **kwargs)
 
-    def _place_params(self, params):
-        """Place params on the mesh: replicated by default; modules that
-        declare ``partition_specs`` (the wav2vec2 trunk) are tensor-split
-        over the 'model' axis when one exists."""
+    def _param_partition_specs(self, params):
+        """PartitionSpec tree: replicated by default; modules that declare
+        ``partition_specs`` (the wav2vec2 trunk) are tensor-split over the
+        'model' axis when one exists."""
         from jax.sharding import PartitionSpec as P
-        from mlvae_tpu.parallel.tp import shard_tree, validate_tp
+        from mlvae_tpu.parallel.tp import validate_tp
 
         model_axis = dict(self.mesh.shape).get("model", 1)
         specs = {}
@@ -442,16 +442,48 @@ class Brain:
                             "(model axis %d)", name, model_axis)
             else:
                 specs[name] = jax.tree_util.tree_map(lambda _: P(), sub)
-        return shard_tree(self.mesh, params, specs)
+        return specs
+
+    def _place_params(self, params):
+        from mlvae_tpu.parallel.tp import shard_tree
+        return shard_tree(self.mesh, params,
+                          self._param_partition_specs(params))
+
+    def _place_opt_states(self, opt_states, specs):
+        """Adam moments of a tensor-split module must shard LIKE the params
+        (replicating them would hold 2 full f32 copies of the trunk per
+        device and all-gather sharded grads into them every step); scalar
+        state (counts, hyperparams) replicates."""
+        from mlvae_tpu.parallel.mesh import replicated
+        from mlvae_tpu.parallel.tp import shard_tree
+
+        rep = replicated(self.mesh)
+        out = {}
+        for name, per_mod in opt_states.items():
+            out[name] = {}
+            for mk, st in per_mod.items():
+                sub_specs = {mk: specs[mk]}
+                param_struct = jax.tree_util.tree_structure(
+                    {mk: self.params[mk]})
+
+                def is_param_shaped(n, _struct=param_struct):
+                    return jax.tree_util.tree_structure(n) == _struct
+
+                out[name][mk] = jax.tree_util.tree_map(
+                    lambda n, _s=sub_specs: shard_tree(self.mesh, n, _s)
+                    if is_param_shaped(n) else jax.device_put(n, rep),
+                    st, is_leaf=is_param_shaped)
+        return out
 
     def on_fit_start(self):
         if self.params is None:
             self.init_params()
         self.init_optimizers()
         if self.mesh is not None:
-            from mlvae_tpu.parallel.mesh import replicate
-            self.params = self._place_params(self.params)
-            self.opt_states = replicate(self.mesh, self.opt_states)
+            from mlvae_tpu.parallel.tp import shard_tree
+            specs = self._param_partition_specs(self.params)
+            self.params = shard_tree(self.mesh, self.params, specs)
+            self.opt_states = self._place_opt_states(self.opt_states, specs)
 
     def on_fit_end(self):
         if self.checkpointer is not None:

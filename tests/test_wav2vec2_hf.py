@@ -46,10 +46,11 @@ def test_wav2vec2_matches_hf(tmp_path, stable):
 
     enc = Wav2Vec2Encoder(source=str(snap), output_norm=False,
                           normalize_wav=False, freeze=True)
-    assert enc._pretrained_loaded
     assert enc.do_stable_layer_norm == stable
     assert enc.hidden_size == 32 and enc.num_hidden_layers == 2
     params = enc.init(jax.random.PRNGKey(0))
+    # weights load lazily at init (host copy released after transfer)
+    assert enc._pretrained_loaded
 
     rs = np.random.RandomState(1)
     wav = rs.randn(3, 2000).astype(np.float32)
@@ -64,7 +65,8 @@ def test_wav2vec2_matches_hf(tmp_path, stable):
 
 def test_wav2vec2_output_norm_and_wav_norm(tmp_path):
     """The SB-wrapper conveniences on top of the bare model: waveform
-    normalization (HF processor semantics) and output layer-norm."""
+    normalization and output norm, both F.layer_norm(x, x.shape) —
+    whole-tensor statistics (reference quirk)."""
     import jax
     import jax.numpy as jnp
     from mlvae_tpu.modules.wav2vec2 import Wav2Vec2Encoder
@@ -74,9 +76,61 @@ def test_wav2vec2_output_norm_and_wav_norm(tmp_path):
     params = enc.init(jax.random.PRNGKey(0))
     wav = 7.0 + 3.0 * jax.random.normal(jax.random.PRNGKey(1), (2, 3200))
     out = enc.apply(params, wav)
-    # output_norm => each frame ~zero-mean/unit-var over features
-    assert float(jnp.abs(out.mean(-1)).max()) < 1e-4
-    assert float(jnp.abs(out.var(-1) - 1.0).max()) < 1e-2
+    # output_norm => zero mean / unit var over the WHOLE output tensor
+    assert abs(float(out.mean())) < 1e-4
+    assert abs(float(out.var()) - 1.0) < 1e-3
     # normalize_wav => invariant to waveform affine rescaling
     out2 = enc.apply(params, 0.1 * (wav - 7.0) / 3.0)
     assert float(jnp.abs(out - out2).max()) < 1e-3
+
+
+def test_norms_match_sb_whole_tensor_layer_norm():
+    """normalize_wav/output_norm reproduce the SB wrapper's
+    F.layer_norm(x, x.shape): ONE mean/var over the entire padded batch
+    tensor (reference quirk), not per-utterance stats."""
+    import jax.numpy as jnp
+    import torch
+    from mlvae_tpu.modules.wav2vec2 import _whole_tensor_norm
+
+    rs = np.random.RandomState(3)
+    x = rs.randn(3, 50).astype(np.float32) * 2 + 1
+    ours = np.asarray(_whole_tensor_norm(jnp.asarray(x), eps=1e-5))
+    theirs = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), list(x.shape)).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_encoder_dropout_fires_when_finetuning(tmp_path):
+    """freeze: False recipes train the trunk: the HF per-layer dropouts
+    (attention probs, post-attention, FFN) must actually fire under
+    train=True (they were previously accepted but never applied)."""
+    import jax
+    from mlvae_tpu.modules.wav2vec2 import Wav2Vec2Encoder
+
+    enc = Wav2Vec2Encoder(source="", output_size=32, freeze=False,
+                          output_norm=False, normalize_wav=False,
+                          hidden_dropout=0.5, attention_dropout=0.5,
+                          feat_proj_dropout=0.0)
+    params = enc.init(jax.random.PRNGKey(0))
+    wav = np.random.RandomState(5).randn(2, 2000).astype(np.float32)
+
+    eval1 = np.asarray(enc.apply(params, wav, train=False))
+    eval2 = np.asarray(enc.apply(params, wav, train=False))
+    np.testing.assert_array_equal(eval1, eval2)  # eval is deterministic
+
+    tr1 = np.asarray(enc.apply(params, wav, rng=jax.random.PRNGKey(1),
+                               train=True))
+    tr2 = np.asarray(enc.apply(params, wav, rng=jax.random.PRNGKey(2),
+                               train=True))
+    assert not np.allclose(tr1, eval1)
+    assert not np.allclose(tr1, tr2)
+
+    # frozen trunk ignores train=True entirely (reference freeze semantics)
+    enc_frozen = Wav2Vec2Encoder(source="", output_size=32, freeze=True,
+                                 output_norm=False, normalize_wav=False,
+                                 hidden_dropout=0.5, attention_dropout=0.5)
+    pf = enc_frozen.init(jax.random.PRNGKey(0))
+    f1 = np.asarray(enc_frozen.apply(pf, wav, rng=jax.random.PRNGKey(1),
+                                     train=True))
+    f2 = np.asarray(enc_frozen.apply(pf, wav, train=False))
+    np.testing.assert_array_equal(f1, f2)
