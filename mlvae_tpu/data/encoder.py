@@ -37,6 +37,14 @@ class LabelEncoder:
     def insert_label(self, label: str, index: int):
         if label in self.lab2ind:
             raise ValueError(f"label already present: {label}")
+        # list.insert position semantics: negative counts from the end,
+        # out-of-range clamps — otherwise index=-1 would create an invalid
+        # map (blank at key -1, colliding with the -1 padding sentinel)
+        n = len(self.lab2ind)
+        index = int(index)
+        if index < 0:
+            index = max(n + index, 0)
+        index = min(index, n)
         # shift everything at >= index up by one
         new_lab2ind = {}
         for lab, ind in self.lab2ind.items():
@@ -61,8 +69,17 @@ class LabelEncoder:
     # reference-name alias (returns numpy, not torch)
     encode_sequence_torch = encode_sequence
 
-    def decode_ndim(self, ids) -> List[str]:
-        return [self.ind2lab[int(i)] for i in np.asarray(ids).reshape(-1)]
+    def decode_ndim(self, ids):
+        """Recursively decode arbitrarily nested (possibly ragged)
+        sequences, preserving nesting — SpeechBrain decode_ndim contract
+        (a flat reshape would crash on ragged batch input)."""
+        if hasattr(ids, "ndim"):  # numpy/jax array
+            if ids.ndim == 0:
+                return self.ind2lab[int(ids)]
+            return [self.decode_ndim(x) for x in ids]
+        if isinstance(ids, (list, tuple)):
+            return [self.decode_ndim(x) for x in ids]
+        return self.ind2lab[int(ids)]
 
     # -- persistence -----------------------------------------------------------
     def save(self, path):

@@ -36,6 +36,7 @@ import inspect
 import operator as op
 import os.path
 import re
+import warnings
 from io import StringIO
 from typing import Any, Dict, List, Optional
 
@@ -97,6 +98,19 @@ def _tagged_constructor(loader: _TaggedLoader, tag_suffix: str, node):
 _TaggedLoader.add_multi_constructor("!", _tagged_constructor)
 
 
+def _str_constructor(loader: _TaggedLoader, node):
+    """Tuple conversion happens HERE, on PLAIN scalars only — reference
+    parity: HyperPyYAML registers ``(...)`` as an implicit !tuple resolver,
+    so quoting is the escape hatch (``pattern: "(.*)"`` stays a string)."""
+    value = loader.construct_scalar(node)
+    if node.style is None and _TUPLE_RE.match(value):
+        return _maybe_tuple(value)
+    return value
+
+
+_TaggedLoader.add_constructor("tag:yaml.org,2002:str", _str_constructor)
+
+
 def _parse_tagged(stream) -> Any:
     return yaml.load(stream, Loader=_TaggedLoader)
 
@@ -130,11 +144,16 @@ def recursive_update(d, u, must_match: bool = False,
         )
         if isinstance(v, dict) and not isinstance(v, TaggedValue) and k in d:
             if isinstance(d[k], TaggedValue) and not isinstance(d[k].value, dict):
+                # a dict override of a tagged non-mapping node (e.g.
+                # ``!apply:f [1, 2]`` overridden with ``{kw: 3}``) keeps the
+                # tag but REPLACES the payload with kwargs — flag the drop
+                if d[k].value not in (None, "", [], {}):
+                    warnings.warn(
+                        f"override of {k!r} replaces the tagged node's "
+                        f"non-mapping payload {d[k].value!r} with kwargs")
                 d[k] = TaggedValue(d[k].tag, {})
             target = d[k]
             if isinstance(target, TaggedValue):
-                if not isinstance(target.value, dict):
-                    target.value = {}
                 recursive_update(target.value, v, keep_objects=keep_objects)
             elif isinstance(target, dict):
                 recursive_update(target, v, keep_objects=keep_objects)
@@ -248,7 +267,10 @@ def recursive_resolve(reference, reference_list, full_tree, copy_mode=False):
         return recursive_resolve(value, reference_list, full_tree, copy_mode)
 
     matches = _REF_RE.findall(reference)
-    reference_list += list(matches)
+    # record the FULL string too: a circular interpolated ref
+    # (``a: !ref <a>/x``) re-enters with the same full string, which the
+    # entry check catches — recording only '<a>' would recurse forever
+    reference_list += list(matches) + [reference]
 
     def replace_fn(m):
         val = _deref(m.group(0).strip("<>"), full_tree, copy_mode)
@@ -457,6 +479,11 @@ def _materialize(node, memo: Dict[int, Any]):
             module = locate(name)
             if module is None:
                 raise ImportError(f"There is no such module as {name}")
+            if not inspect.ismodule(module):
+                raise ValueError(f"!module:{name} is not a module")
+            if node.value not in (None, "", [], {}):
+                # reference core.py: 'Cannot pass args to module'
+                raise ValueError(f"Cannot pass args to module {name}")
             result = module
         elif tag.startswith("!apply:"):
             name = tag[len("!apply:"):]
@@ -482,7 +509,9 @@ def _materialize(node, memo: Dict[int, Any]):
         result = [_materialize(v, memo) for v in node]
         memo[id(node)] = result
         return result
-    return _maybe_tuple(node)
+    # plain-scalar tuple conversion already happened at parse time
+    # (_str_constructor); quoted strings pass through untouched
+    return node
 
 
 def load_hyperyaml(
@@ -495,10 +524,15 @@ def load_hyperyaml(
 
     Signature-compatible with reference ``core.py:25`` ``load_hyperpyyaml``.
     """
-    tree = _resolve_tree(yaml_stream, overrides, overrides_must_match)
     if extra_overrides:
-        recursive_update(tree, _parse_tagged(extra_overrides)
-                         if isinstance(extra_overrides, str) else extra_overrides)
+        # merged BEFORE reference resolution (same as the CLI channel,
+        # experiment.py) so tagged override values materialize and keys
+        # that other values !ref see the overridden value, not the stale
+        # one.  Ordered last: extra_overrides win over plain overrides.
+        ovr = overrides if isinstance(overrides, list) \
+            else ([overrides] if overrides else [])
+        overrides = ovr + [extra_overrides]
+    tree = _resolve_tree(yaml_stream, overrides, overrides_must_match)
     memo: Dict[int, Any] = {}
     hparams = _materialize(tree, memo)
     if isinstance(hparams, dict):

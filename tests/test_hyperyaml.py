@@ -203,3 +203,56 @@ def test_recursive_update_keep_objects():
                                    "n_epochs": 2}}, keep_objects=True)
     assert h["model"]["checkpointer"] is obj   # object preserved
     assert h["model"]["n_epochs"] == 2         # scalar still overridden
+
+
+def test_quoted_parenthesized_string_stays_string():
+    """Tuple conversion is an implicit resolver on PLAIN scalars only
+    (reference parity): quoting is the escape hatch for parenthesized
+    strings like regexes."""
+    h = load_hyperyaml('pattern: "(.*)"\nplain: (1, 2)\n')
+    assert h["pattern"] == "(.*)"
+    assert h["plain"] == (1, 2)
+
+
+def test_extra_overrides_kwarg_resolves_refs_and_tags():
+    """The extra_overrides kwarg merges BEFORE reference resolution (same
+    as the CLI channel): dependent !ref values see the override, and
+    tagged override values materialize."""
+    h = load_hyperyaml("a: 3\nb: !ref <a>*2\n", extra_overrides={"a": 5})
+    assert h["a"] == 5 and h["b"] == 10
+    h = load_hyperyaml("a: 3\nb: 1\n",
+                       extra_overrides="b: !ref <a>")
+    assert h["b"] == 3
+
+
+def test_circular_interpolated_ref_detected():
+    with pytest.raises(ValueError, match="Circular"):
+        load_hyperyaml("a: !ref <a>/x\n")
+
+
+def test_module_tag_rejects_args():
+    with pytest.raises(ValueError, match="Cannot pass args"):
+        load_hyperyaml("m: !module:os.path {a: 1}\n")
+    h = load_hyperyaml("m: !module:os.path\n")
+    import os.path as osp
+    assert h["m"] is osp
+
+
+def test_encoder_decode_ndim_preserves_ragged_nesting():
+    from mlvae_tpu.data.encoder import LabelEncoder
+
+    enc = LabelEncoder()
+    enc.update_from_iterable(["aa", "bb", "cc"])
+    out = enc.decode_ndim([[0, 1], [2]])
+    assert out == [["aa", "bb"], ["cc"]]
+    assert enc.decode_ndim(1) == "bb"
+
+
+def test_encoder_insert_label_normalizes_index():
+    from mlvae_tpu.data.encoder import LabelEncoder
+
+    enc = LabelEncoder()
+    enc.update_from_iterable(["aa", "bb", "cc"])
+    enc.insert_blank(index=-1)  # list.insert semantics: before the last
+    assert enc.lab2ind["<blank>"] == 2
+    assert sorted(enc.ind2lab) == [0, 1, 2, 3]  # contiguous, no key -1
