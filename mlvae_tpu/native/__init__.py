@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import subprocess
 from pathlib import Path
 from typing import Optional
@@ -27,11 +28,28 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def build() -> bool:
+    """Build under an exclusive lock, compiling to a process-unique temp
+    name and atomically renaming into place: concurrent first-use callers
+    (forked loader workers, parallel pytest) must never dlopen a torn
+    .so or race two g++ invocations onto one output path."""
+    import fcntl
+
+    lock_path = _DIR / ".build.lock"
     try:
-        subprocess.run(["make", "-C", str(_DIR)], check=True,
-                       capture_output=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if _SO.exists():
+                return True
+            tmp = _DIR / f".{_SO.name}.{os.getpid()}.tmp"
+            try:
+                subprocess.run(
+                    ["make", "-C", str(_DIR), f"OUT={tmp.name}"],
+                    check=True, capture_output=True)
+                os.replace(tmp, _SO)  # atomic on the same filesystem
+                return True
+            finally:
+                tmp.unlink(missing_ok=True)
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         logger.warning("native build failed: %s", e)
         return False
 
@@ -89,9 +107,7 @@ def _dp(a):
 
 def kaldi_fbank(wave: np.ndarray, sample_rate=16000, shift=320, window=400,
                 n_mels=40) -> np.ndarray:
-    lib = load()
-    if lib is None:
-        raise RuntimeError("native library unavailable")
+    lib = _require()
     wave = np.ascontiguousarray(wave, np.float32)
     T = lib.mlvae_kaldi_num_frames(len(wave), shift)
     out = np.empty((T, n_mels), np.float32)
@@ -100,8 +116,18 @@ def kaldi_fbank(wave: np.ndarray, sample_rate=16000, shift=320, window=400,
     return out
 
 
-def add_deltas(feats: np.ndarray, order=2, window=2) -> np.ndarray:
+def _require() -> ctypes.CDLL:
     lib = load()
+    if lib is None:
+        raise RuntimeError(
+            "native library unavailable (no C++ toolchain?); use the "
+            "numpy/XLA fallbacks in ops.frontend_ref / ops.fbank / "
+            "data.wav instead")
+    return lib
+
+
+def add_deltas(feats: np.ndarray, order=2, window=2) -> np.ndarray:
+    lib = _require()
     feats = np.ascontiguousarray(feats, np.float32)
     T, C = feats.shape
     out = np.empty((T, C * (order + 1)), np.float32)
@@ -111,7 +137,7 @@ def add_deltas(feats: np.ndarray, order=2, window=2) -> np.ndarray:
 
 def cmvn(utts, norm_vars=True):
     """Per-speaker CMVN over a list of (T, C) utterances; returns new list."""
-    lib = load()
+    lib = _require()
     C = utts[0].shape[1]
     total = np.zeros(C, np.float64)
     sq = np.zeros(C, np.float64)
@@ -133,7 +159,7 @@ def md_viterbi_batch(log_p_yx, log_p_y, y, log_p_b, log_p_pi, t_lens, l_lens,
                      weight=1.0):
     """OpenMP-batch MD Viterbi; same contract as ops.decode.md_viterbi_batch
     (returns padded int32 boundary/flvl/plvl arrays)."""
-    lib = load()
+    lib = _require()
     log_p_yx = np.ascontiguousarray(log_p_yx, np.float32)
     log_p_y = np.ascontiguousarray(log_p_y, np.float32)
     y = np.ascontiguousarray(y, np.int32)
@@ -155,18 +181,22 @@ def md_viterbi_batch(log_p_yx, log_p_y, y, log_p_b, log_p_pi, t_lens, l_lens,
 
 
 def read_wav(path):
-    lib = load()
+    lib = _require()
     sr = np.zeros(1, np.int32)
     n = lib.mlvae_read_wav(str(path).encode(), None, _ip(sr))
     if n < 0:
         raise IOError(f"cannot read wav: {path}")
     out = np.empty(n, np.float32)
-    lib.mlvae_read_wav(str(path).encode(), _fp(out), _ip(sr))
-    return out, int(sr[0])
+    # a truncated file yields fewer samples than the header promised; the
+    # fill call's return is authoritative (the tail would be uninitialized)
+    have = lib.mlvae_read_wav(str(path).encode(), _fp(out), _ip(sr))
+    if have < 0:
+        raise IOError(f"cannot read wav: {path}")
+    return out[:have], int(sr[0])
 
 
 def resample(wave, sr_in: int, sr_out: int):
-    lib = load()
+    lib = _require()
     wave = np.ascontiguousarray(wave, np.float32)
     cap = int(np.ceil(len(wave) * sr_out / sr_in)) + 8
     out = np.empty(cap, np.float32)

@@ -31,6 +31,9 @@ void mlvae_md_viterbi_one(const float* log_p_yx, const float* log_p_y,
                           const float* log_p_pi, int32_t T, int32_t L,
                           int32_t N, float weight, int32_t* boundary,
                           int32_t* flvl, int32_t* plvl) {
+  // empty utterance/label sequence: nothing decodable; without this guard
+  // flvl[T-1]/plvl[l] below would write before the output buffers
+  if (T <= 0 || L <= 0) return;
   // emissions e[t][l][b] = log_p_yx[t, y[l], b] - log_p_y[y[l], b]
   std::vector<double> dp((size_t)L * 2, kNegInf);
   std::vector<int8_t> path((size_t)T * L * 2, 0);

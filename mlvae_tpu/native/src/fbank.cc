@@ -91,6 +91,34 @@ int32_t mlvae_kaldi_fbank(const float* wave, int32_t num_samples,
 
   const float kEps = 1.1920928955078125e-07f;  // float32 epsilon
 
+  // mel triangle weights are frame-independent: precompute the nonzero
+  // [start, end) range and weights per mel (recomputing them per frame
+  // cost ~2x the FFT itself)
+  std::vector<std::vector<double>> mel_w(n_mels);
+  std::vector<int> mel_start(n_mels), mel_end(n_mels);
+  for (int m = 0; m < n_mels; ++m) {
+    const double left = mel_low + m * delta;
+    const double center = left + delta;
+    const double right = center + delta;
+    int start = -1, end = 0;
+    std::vector<double> w_row;
+    for (int k = 0; k < n_bins; ++k) {
+      const double up = (bin_mels[k] - left) / (center - left);
+      const double down = (right - bin_mels[k]) / (right - center);
+      const double w = std::max(0.0, std::min(up, down));
+      if (w > 0.0) {
+        if (start < 0) start = k;
+        end = k + 1;
+        w_row.push_back(w);
+      } else if (start >= 0) {
+        break;  // triangles are contiguous
+      }
+    }
+    mel_start[m] = start < 0 ? 0 : start;
+    mel_end[m] = end;
+    mel_w[m] = std::move(w_row);
+  }
+
   std::vector<double> frame(window), re(padded), im(padded),
       power(n_bins);
   for (int t = 0; t < T; ++t) {
@@ -123,16 +151,10 @@ int32_t mlvae_kaldi_fbank(const float* wave, int32_t num_samples,
       power[k] = re[k] * re[k] + im[k] * im[k];
 
     for (int m = 0; m < n_mels; ++m) {
-      const double left = mel_low + m * delta;
-      const double center = left + delta;
-      const double right = center + delta;
       double energy = 0.0;
-      for (int k = 0; k < n_bins; ++k) {
-        const double up = (bin_mels[k] - left) / (center - left);
-        const double down = (right - bin_mels[k]) / (right - center);
-        const double w = std::max(0.0, std::min(up, down));
-        energy += w * power[k];
-      }
+      const int start = mel_start[m];
+      const int n = static_cast<int>(mel_w[m].size());
+      for (int k = 0; k < n; ++k) energy += mel_w[m][k] * power[start + k];
       out[(long)t * n_mels + m] =
           std::log(std::max(energy, (double)kEps));
     }
@@ -140,34 +162,47 @@ int32_t mlvae_kaldi_fbank(const float* wave, int32_t num_samples,
   return T;
 }
 
-// Kaldi add-deltas: iterated +-window regression, edges clamped
+// Kaldi add-deltas: EXACT DeltaFeatures semantics (feature-functions.cc) —
+// each order's filter is the previous filter convolved with the +-window
+// regression kernel, and the COMPOSITE filter is applied to the ORIGINAL
+// features with one edge clamp.  (Iterating the regression with per-order
+// clamping deviates from Kaldi by up to ~0.15 at the first/last frames.)
 // feats (T x C) -> out (T x C*(order+1))
 void mlvae_add_deltas(const float* feats, int32_t T, int32_t C, int32_t order,
                       int32_t window, float* out) {
-  double denom = 0.0;
-  for (int i = 1; i <= window; ++i) denom += 2.0 * i * i;
   const int out_c = C * (order + 1);
+  if (T <= 0 || C <= 0) return;
 
-  std::vector<double> prev((long)T * C), cur((long)T * C);
-  for (long i = 0; i < (long)T * C; ++i) prev[i] = feats[i];
-  for (int t = 0; t < T; ++t)
-    for (int c = 0; c < C; ++c)
-      out[(long)t * out_c + c] = feats[(long)t * C + c];
-
+  std::vector<std::vector<double>> scales(order + 1);
+  scales[0] = {1.0};
+  double normalizer = 0.0;
+  for (int j = -window; j <= window; ++j) normalizer += (double)j * j;
   for (int o = 1; o <= order; ++o) {
+    const std::vector<double>& prev = scales[o - 1];
+    const int prev_off = (static_cast<int>(prev.size()) - 1) / 2;
+    const int cur_off = prev_off + window;
+    std::vector<double> cur(prev.size() + 2 * window, 0.0);
+    for (int j = -window; j <= window; ++j)
+      for (int k = -prev_off; k <= prev_off; ++k)
+        cur[j + k + cur_off] += (double)j * prev[k + prev_off];
+    for (double& v : cur) v /= normalizer;
+    scales[o] = std::move(cur);
+  }
+
+  for (int o = 0; o <= order; ++o) {
+    const std::vector<double>& sc = scales[o];
+    const int off = (static_cast<int>(sc.size()) - 1) / 2;
     for (int t = 0; t < T; ++t) {
       for (int c = 0; c < C; ++c) {
         double acc = 0.0;
-        for (int k = 1; k <= window; ++k) {
-          const int up = std::min(t + k, T - 1);
-          const int dn = std::max(t - k, 0);
-          acc += k * (prev[(long)up * C + c] - prev[(long)dn * C + c]);
+        for (int j = -off; j <= off; ++j) {
+          if (sc[j + off] == 0.0) continue;
+          const int tf = std::min(std::max(t + j, 0), T - 1);
+          acc += sc[j + off] * feats[(long)tf * C + c];
         }
-        cur[(long)t * C + c] = acc / denom;
-        out[(long)t * out_c + o * C + c] = (float)(acc / denom);
+        out[(long)t * out_c + o * C + c] = (float)acc;
       }
     }
-    std::swap(prev, cur);
   }
 }
 

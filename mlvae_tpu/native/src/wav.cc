@@ -18,9 +18,20 @@ struct WavInfo {
   int sample_rate = 0;
   int channels = 0;
   int bits = 0;
+  int format = 0;  // 1 = PCM, 3 = IEEE float
   long data_offset = 0;
   long data_bytes = 0;
 };
+
+bool supported_format(const WavInfo& info) {
+  if (info.channels <= 0 || info.sample_rate <= 0) return false;
+  if (info.format == 1)  // integer PCM
+    return info.bits == 8 || info.bits == 16 || info.bits == 24 ||
+           info.bits == 32;
+  if (info.format == 3)  // IEEE float
+    return info.bits == 32;
+  return false;
+}
 
 bool parse_header(FILE* f, WavInfo* info) {
   char riff[4], wave[4];
@@ -28,22 +39,36 @@ bool parse_header(FILE* f, WavInfo* info) {
   if (fread(riff, 1, 4, f) != 4 || memcmp(riff, "RIFF", 4) != 0) return false;
   if (fread(&riff_size, 4, 1, f) != 1) return false;
   if (fread(wave, 1, 4, f) != 4 || memcmp(wave, "WAVE", 4) != 0) return false;
+  bool have_fmt = false;
   while (true) {
     char id[4];
     uint32_t size;
     if (fread(id, 1, 4, f) != 4 || fread(&size, 4, 1, f) != 1) return false;
     if (memcmp(id, "fmt ", 4) == 0) {
+      if (size < 16) return false;
       std::vector<char> buf(size);
       if (fread(buf.data(), 1, size, f) != size) return false;
+      info->format = *(uint16_t*)(buf.data() + 0);
       info->channels = *(uint16_t*)(buf.data() + 2);
       info->sample_rate = *(uint32_t*)(buf.data() + 4);
       info->bits = *(uint16_t*)(buf.data() + 14);
+      if (info->format == 0xFFFE && size >= 40)  // WAVE_FORMAT_EXTENSIBLE
+        info->format = *(uint16_t*)(buf.data() + 24);  // subformat GUID tag
+      have_fmt = true;
+      if (size & 1) fseek(f, 1, SEEK_CUR);  // RIFF pad byte
     } else if (memcmp(id, "data", 4) == 0) {
+      if (!have_fmt || !supported_format(*info)) return false;
       info->data_offset = ftell(f);
-      info->data_bytes = size;
-      return info->sample_rate > 0;
+      // clamp to the bytes actually present (truncated/streamed files
+      // declare more; a 0xFFFFFFFF header would otherwise drive a 4 GB
+      // allocation)
+      fseek(f, 0, SEEK_END);
+      const long remaining = ftell(f) - info->data_offset;
+      info->data_bytes = std::min((long)size, std::max(remaining, 0L));
+      return true;
     } else {
-      fseek(f, size, SEEK_CUR);
+      // chunks are word-aligned: odd sizes carry a pad byte
+      fseek(f, size + (size & 1), SEEK_CUR);
     }
   }
 }
@@ -77,11 +102,18 @@ int64_t mlvae_read_wav(const char* path, float* out, int32_t* sample_rate) {
     double acc = 0.0;
     for (int c = 0; c < info.channels; ++c) {
       const char* p = raw.data() + (i * info.channels + c) * bytes_per;
-      if (info.bits == 16)
+      if (info.format == 3)  // IEEE float32
+        acc += *(const float*)p;
+      else if (info.bits == 16)
         acc += *(int16_t*)p / 32768.0;
       else if (info.bits == 32)
         acc += *(int32_t*)p / 2147483648.0;
-      else if (info.bits == 8)
+      else if (info.bits == 24) {
+        // little-endian signed 24-bit
+        int32_t v = (uint8_t)p[0] | ((uint8_t)p[1] << 8) |
+                    ((int8_t)p[2] << 16);
+        acc += v / 8388608.0;
+      } else if (info.bits == 8)
         acc += ((*(uint8_t*)p) - 128) / 128.0;
     }
     out[i] = (float)(acc / info.channels);

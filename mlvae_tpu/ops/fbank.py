@@ -144,26 +144,29 @@ def kaldi_fbank_batch(
 
 @functools.partial(jax.jit, static_argnames=("order", "window"))
 def deltas_batch(feats, n_frames, order: int = 2, window: int = 2):
-    """Kaldi ``add-deltas``: iterated +-window regression, edges clamped at
-    each utterance's true frame count.  (B, T, C) -> (B, T, C*(order+1))."""
+    """Kaldi ``add-deltas``: composite delta filters over the original
+    features, indices clamped at each utterance's true frame count
+    (exact Kaldi DeltaFeatures semantics; see
+    ``frontend_ref.kaldi_delta_scales``).  (B, T, C) -> (B, T, C*(order+1))."""
+    from mlvae_tpu.ops.frontend_ref import kaldi_delta_scales
+
     B, T, C = feats.shape
-    denom = 2.0 * sum(i * i for i in range(1, window + 1))
     idx = jnp.arange(T)[None, :]
     last = (n_frames - 1)[:, None]
-    outs = [feats]
-    for _ in range(order):
-        prev = outs[-1]
-        acc = jnp.zeros_like(prev)
-        for k in range(1, window + 1):
-            up = jnp.minimum(idx + k, last).astype(jnp.int32)
-            dn = jnp.clip(idx - k, 0, None).astype(jnp.int32)
-            plus = jnp.take_along_axis(prev, up[..., None], axis=1)
-            minus = jnp.take_along_axis(prev, dn[..., None], axis=1)
-            acc = acc + k * (plus - minus)
-        outs.append(acc / denom)
-    # re-mask: for padding frames t >= n_frames the clamped +k index reads a
-    # real frame while the -k index reads a zero, leaving nonzero garbage
-    # deltas in the padding region otherwise
+    outs = []
+    for sc in kaldi_delta_scales(order, window):
+        off = (len(sc) - 1) // 2
+        acc = jnp.zeros_like(feats)
+        for j in range(-off, off + 1):
+            if sc[j + off] == 0.0:
+                continue
+            tj = jnp.clip(jnp.minimum(idx + j, last), 0, None).astype(
+                jnp.int32)
+            acc = acc + sc[j + off] * jnp.take_along_axis(
+                feats, tj[..., None], axis=1)
+        outs.append(acc)
+    # re-mask: padding frames t >= n_frames would otherwise carry nonzero
+    # garbage from clamped real-frame reads
     valid = (idx < n_frames[:, None])[..., None]
     return jnp.concatenate(outs, axis=-1) * valid
 

@@ -130,21 +130,42 @@ def kaldi_fbank(
     return np.log(np.maximum(mel, EPS_F32)).astype(np.float32)
 
 
-def kaldi_deltas(feats: np.ndarray, order: int = 2, window: int = 2):
-    """Kaldi ``add-deltas`` semantics: each order is a +-window regression
-    over the previous order with indices clamped at utterance edges.
-    Returns (T, C*(order+1))."""
-    T = feats.shape[0]
-    denom = 2.0 * sum(i * i for i in range(1, window + 1))
-    outs = [np.asarray(feats, np.float64)]
+def kaldi_delta_scales(order: int = 2, window: int = 2):
+    """Kaldi ``DeltaFeatures`` composite filters (feature-functions.cc):
+    each order's filter is the previous order's filter CONVOLVED with the
+    +-window regression kernel; the composite is then applied to the
+    ORIGINAL features with one edge clamp.  (Iterating the regression with
+    per-order clamping — the previous implementation here — deviates from
+    Kaldi by up to ~0.15 on the first/last frames.)"""
+    scales = [np.asarray([1.0])]
+    norm = float(sum(j * j for j in range(-window, window + 1)))
     for _ in range(order):
-        prev = outs[-1]
-        acc = np.zeros_like(prev)
-        for k in range(1, window + 1):
-            plus = prev[np.minimum(np.arange(T) + k, T - 1)]
-            minus = prev[np.maximum(np.arange(T) - k, 0)]
-            acc += k * (plus - minus)
-        outs.append(acc / denom)
+        prev = scales[-1]
+        prev_off = (len(prev) - 1) // 2
+        cur_off = prev_off + window
+        cur = np.zeros(len(prev) + 2 * window)
+        for j in range(-window, window + 1):
+            for k in range(-prev_off, prev_off + 1):
+                cur[j + k + cur_off] += j * prev[k + prev_off]
+        scales.append(cur / norm)
+    return scales
+
+
+def kaldi_deltas(feats: np.ndarray, order: int = 2, window: int = 2):
+    """Kaldi ``add-deltas``: composite filters over the original features,
+    indices clamped at utterance edges.  Returns (T, C*(order+1))."""
+    T = feats.shape[0]
+    x = np.asarray(feats, np.float64)
+    outs = []
+    for sc in kaldi_delta_scales(order, window):
+        off = (len(sc) - 1) // 2
+        acc = np.zeros_like(x)
+        for j in range(-off, off + 1):
+            if sc[j + off] == 0.0:
+                continue
+            idx = np.clip(np.arange(T) + j, 0, T - 1)
+            acc += sc[j + off] * x[idx]
+        outs.append(acc)
     return np.concatenate(outs, axis=1).astype(np.float32)
 
 

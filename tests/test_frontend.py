@@ -222,3 +222,37 @@ def test_wave_augment_respects_lens():
     snr = 10 * np.log10(np.mean(waves[0, :1600] ** 2) /
                         np.mean(noise ** 2))
     assert 18.0 < snr < 22.0
+
+
+def test_kaldi_deltas_composite_filter_edges():
+    """Kaldi DeltaFeatures applies the CONVOLVED composite filter to the
+    original features with one edge clamp; iterating the +-window
+    regression with per-order clamping deviates by up to ~0.15 at the
+    first/last frames (regression for the old implementation)."""
+    T, C = 8, 1
+    f = np.arange(T, dtype=np.float32).reshape(T, C) ** 2  # curvature
+    out = ref.kaldi_deltas(f, order=2, window=2)
+
+    # literal Kaldi feature-functions.cc oracle, written independently:
+    scales = [np.array([1.0])]
+    for _ in range(2):
+        prev = scales[-1]
+        po = (len(prev) - 1) // 2
+        cur = np.zeros(len(prev) + 4)
+        norm = sum(j * j for j in range(-2, 3))
+        for j in range(-2, 3):
+            for k in range(-po, po + 1):
+                cur[j + k + po + 2] += j * prev[k + po]
+        scales.append(cur / norm)
+    expect = np.zeros((T, 3))
+    for o, sc in enumerate(scales):
+        off = (len(sc) - 1) // 2
+        for t in range(T):
+            for j in range(-off, off + 1):
+                expect[t, o] += sc[j + off] * f[min(max(t + j, 0), T - 1), 0]
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+    # the old iterative-clamping form disagrees at the edges: delta-delta
+    # at t=0 under Kaldi reads clamp(0-4)=f[0], the iterative form read
+    # f[2]; make sure we pinned the Kaldi value
+    assert abs(out[0, 2] - expect[0, 2]) < 1e-5

@@ -109,8 +109,11 @@ def test_native_resample_tone():
 
 
 def test_native_fbank_sub_window_utterance_matches_golden():
-    """150 samples < window/2: exercises the iterated-reflection path."""
-    w = _wave(150, seed=4)
+    """Utterance shorter than the 400-sample window: the frame gather must
+    ITERATE the edge reflection (regression: 150 samples produced T=0, so
+    the old version of this test compared two empty arrays)."""
+    w = _wave(300, seed=4)  # T = (300+160)//320 = 1 frame, window 400 > 300
     golden = ref.kaldi_fbank(w)
     got = native.kaldi_fbank(w)
+    assert got.shape[0] >= 1  # the test must actually produce frames
     np.testing.assert_allclose(got, golden, rtol=1e-4, atol=1e-4)
