@@ -33,6 +33,12 @@ def prepare_datasets(hparams):
     dataset_dir = Path(hparams["prepare"]["dataset_dir"]).parent
     computed_dir = dataset_dir / "computed_dataset"
 
+    # duration-sorted data must not be shuffled (same cache-hit guard as
+    # data_io.prepare_datasets; this loader is cache-hit-only)
+    if hparams.get("sorting") in ("ascending", "descending") \
+            and "train_dataloader_opts" in hparams:
+        hparams["train_dataloader_opts"]["shuffle"] = False
+
     datasets = []
     for set_name in SET_NAMES:
         pkl_path = computed_dir / f"{set_name}.pkl"
@@ -51,6 +57,13 @@ def prepare_datasets(hparams):
         with open(results_path) as f:
             dnn_hmm_results = json.load(f)
         test_ds = datasets[2]
+
+        missing = [u for u in test_ds.ids if u not in dnn_hmm_results]
+        if missing:
+            raise ValueError(
+                f"{results_path} is missing {len(missing)} test "
+                f"utterance(s), e.g. {missing[:5]} — the external DNN-HMM "
+                "scoring did not cover the full test set")
 
         def dnn_hmm_pipeline(utt_id):
             seg_seq, phn_seq = [], []

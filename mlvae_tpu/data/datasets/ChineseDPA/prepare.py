@@ -74,6 +74,14 @@ def prepare(dataset_dir, train_json_path, valid_json_path, test_json_path,
                     f"{utt_id}.TextGrid"
                 if set_name in ("valid", "test") and gt_tg_path.exists():
                     phn_seq, gt_seg_seq, misp_seq = read_tg_file(gt_tg_path)
+                    # annotators merging/splitting segments would surface
+                    # much later as a broadcast error in the MD pipeline —
+                    # fail at the source with the utterance named
+                    if len(phn_seq) != len(cnncl_seq):
+                        raise ValueError(
+                            f"{gt_tg_path}: human annotation has "
+                            f"{len(phn_seq)} segments but the formatted "
+                            f"corpus has {len(cnncl_seq)} for {utt_id}")
                 else:
                     phn_seq, gt_seg_seq = list(cnncl_seq), \
                         [list(s) for s in fa_seg_seq]

@@ -11,13 +11,18 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
+import logging
+
 from mlvae_tpu.data.textgrid import read_textgrid
 
 _ALPHA = re.compile(r"[a-zA-Z]+")
 
+logger = logging.getLogger(__name__)
+
 
 def parse_textgrid(path, level: str):
-    tg = read_textgrid(path)
+    # tgt (the reference's reader) drops empty intervals by default
+    tg = read_textgrid(path, include_empty_intervals=False)
     annotation = {
         "all": {
             "start_time": tg.start_time,
@@ -41,8 +46,18 @@ def parse_textgrid(path, level: str):
         parts = interval.text.lower().split(",")
         pronounced = parts[0] if len(parts) == 1 else parts[1]
         canonical = parts[0]
-        pronounced = _ALPHA.findall(pronounced)[0]
-        canonical = _ALPHA.findall(canonical)[0]
+        p_hit = _ALPHA.findall(pronounced)
+        c_hit = _ALPHA.findall(canonical)
+        if not p_hit or not c_hit:
+            # deletion/addition tokens ('CPL,,d' / ',PPL,a') have an empty
+            # comma slot; the reference's [0]-index crashes on them — skip
+            # the interval with a warning instead of fabricating a label
+            logger.warning(
+                "%s: skipping phones interval with empty slot: %r",
+                path, interval.text)
+            continue
+        pronounced = p_hit[0]
+        canonical = c_hit[0]
         annotation["phoneme"].append(pronounced)
         annotation["all"]["phoneme"].append(
             (interval.start_time, interval.end_time, pronounced)

@@ -27,6 +27,10 @@ def _speaker_splits(speakers):
     train = speakers[:n_train]
     valid = speakers[n_train:n_train + n_valid] or speakers[:1]
     test = speakers[n_train + n_valid:] or speakers[-1:]
+    if set(valid) & set(train) or set(test) & (set(train) | set(valid)):
+        logger.warning(
+            "only %d speaker(s): train/valid/test splits overlap — "
+            "evaluation metrics will be inflated by speaker leakage", n)
     return train, valid, test
 
 

@@ -39,7 +39,13 @@ TEST_SPK = [
 
 def _fold_and_collapse(phonemes, segments, phoneme_set_handler):
     """Apply the phoneme folding, drop empties, collapse consecutive sils
-    (reference ``prepare.py:294-329``)."""
+    (reference ``prepare.py:294-329``).
+
+    NOTE the reference's table maps the glottal stop 'q' to 'err' (its MD
+    error token, ``utils/phonemes.py:47``) rather than deleting it as the
+    standard Lee & Hon folding does — reproduced faithfully here, so the
+    ``if p`` empty-drop below only fires for mappings a user's custom
+    table maps to ''."""
     folded, segs = [], []
     for p, seg in zip(phonemes, segments):
         p = phoneme_set_handler.map_phoneme(p)

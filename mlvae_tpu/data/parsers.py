@@ -1,9 +1,16 @@
 """Parsers for external scoring artifacts.
 
 ``parse_filt_prf``: NIST sclite ``.filt.prf`` alignment files -> DNN-HMM
-result JSON (parity with reference ``utils/parsers/parse_filt_prf.py``:
-keep File/REF/HYP/H_T1/H_T2 rows, drop insertions, deletions inherit the
-previous segment's span).
+result JSON (reference ``utils/parsers/parse_filt_prf.py``: keep
+File/REF/HYP/H_T1/H_T2 rows, drop insertions, deletions inherit the
+previous segment's span).  Two deliberate fixes over the reference:
+
+* an inserted HYP token HAS an H_T1/H_T2 slot (it is a hypothesis word);
+  the reference skips insertions without consuming the slot, shifting
+  every later segment's timestamps onto the previous token's span;
+* sclite wraps long alignments into continuation REF/HYP/H_T1/H_T2 groups
+  without a File row; the reference's fixed 5-row blocking either trips
+  its assert or silently mis-assigns utterance ids.
 """
 from __future__ import annotations
 
@@ -22,19 +29,31 @@ def parse_filt_prf(file_path, output_path=None,
 
     with open(file_path) as f:
         lines = f.readlines()[header_lines:]
-    rows = [line.split()[1:] for line in lines
-            if line[:4] in VALID_PREFIXES]
-    assert len(rows) % len(VALID_PREFIXES) == 0
+    # sequential walk: a File row starts a new utterance; REF/HYP/H_T1/H_T2
+    # rows (including sclite's width-wrap continuation groups) accumulate
+    # onto the current utterance
+    utts: List[Dict[str, List[str]]] = []
+    for line in lines:
+        prefix = line[:4]
+        if prefix not in VALID_PREFIXES:
+            continue
+        cells = line.split()[1:]
+        if prefix == "File":
+            utts.append({"id": cells[0], "REF:": [], "HYP:": [],
+                         "H_T1": [], "H_T2": []})
+        elif utts:
+            utts[-1][prefix].extend(cells)
 
     parsed: Dict[str, List] = {}
-    n = len(rows) // len(VALID_PREFIXES)
-    for i in range(n):
-        block = rows[i * len(VALID_PREFIXES): (i + 1) * len(VALID_PREFIXES)]
-        utt_id = block[0][0]
+    for utt in utts:
+        if len(utt["REF:"]) != len(utt["HYP:"]):
+            raise ValueError(
+                f"{file_path}: REF/HYP length mismatch for {utt['id']}")
         result = []
         j = 0
-        for gt_phn, pred_phn in zip(block[1], block[2]):
-            if "*" in gt_phn:  # insertion: ignore
+        for gt_phn, pred_phn in zip(utt["REF:"], utt["HYP:"]):
+            if "*" in gt_phn:  # insertion: ignore, but CONSUME its slot
+                j += 1
                 continue
             if "*" in pred_phn:  # deletion: inherit the previous span
                 if result:
@@ -42,10 +61,10 @@ def parse_filt_prf(file_path, output_path=None,
                 else:
                     start = end = 0.0
             else:
-                start, end = float(block[3][j]), float(block[4][j])
+                start, end = float(utt["H_T1"][j]), float(utt["H_T2"][j])
                 j += 1
             result.append([float(start), float(end), pred_phn.lower()])
-        parsed[utt_id] = result
+        parsed[utt["id"]] = result
 
     if output_path is not None:
         output_path = Path(output_path)

@@ -15,8 +15,62 @@ from pathlib import Path
 import numpy as np
 
 
+def _read_sphere(path) -> tuple[np.ndarray, int]:
+    """NIST SPHERE reader (the LDC TIMIT distribution format, which the
+    reference converted with sph2pipe, ``datasets/prepare_kaldi.py:36-42``):
+    1024-byte ASCII header of 'name -type value' lines, then PCM/ulaw data.
+    Shorten-compressed files ('embedded-shorten') are not supported and
+    raise a clear error."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        assert magic.startswith(b"NIST_1A")
+        header_size = int(f.read(8).strip())
+        header = f.read(header_size - 16).decode("ascii", "replace")
+        fields = {}
+        for line in header.splitlines():
+            parts = line.split(None, 2)
+            if len(parts) == 3 and parts[1].startswith("-"):
+                fields[parts[0]] = parts[2]
+        f.seek(header_size)
+        raw = f.read()
+
+    coding = fields.get("sample_coding", "pcm")
+    if "shorten" in coding:
+        raise ValueError(
+            f"{path}: shorten-compressed SPHERE is not supported; convert "
+            "with sph2pipe first")
+    sr = int(fields.get("sample_rate", 16000))
+    ch = int(fields.get("channel_count", 1))
+    nbytes = int(fields.get("sample_n_bytes", 2))
+    if coding.startswith("ulaw") or coding.startswith("mu-law"):
+        u = np.frombuffer(raw, np.uint8).astype(np.int16)
+        u = ~u & 0xFF
+        sign = (u >> 7) & 1
+        exp = (u >> 4) & 7
+        mant = u & 0xF
+        mag = ((mant.astype(np.int32) << 1) + 33).astype(np.int32)
+        mag = (mag << exp) - 33
+        data = np.where(sign == 1, -mag, mag).astype(np.float32) / 8192.0
+    elif nbytes == 2:
+        dt = np.dtype(np.int16)
+        fmt = fields.get("sample_byte_format", "01")
+        if fmt == "10":  # big-endian
+            dt = dt.newbyteorder(">")
+        data = np.frombuffer(raw, dt).astype(np.float32) / 32768.0
+    else:
+        raise ValueError(f"{path}: unsupported SPHERE sample_n_bytes "
+                         f"{nbytes} / coding {coding!r}")
+    if ch > 1:
+        data = data[: len(data) // ch * ch].reshape(-1, ch).mean(axis=1)
+    return data, sr
+
+
 def read_wav(path) -> tuple[np.ndarray, int]:
-    """Returns (float32 waveform in [-1, 1], sample_rate)."""
+    """Returns (float32 waveform in [-1, 1], sample_rate).  Handles RIFF
+    WAV (stdlib) and NIST SPHERE (LDC TIMIT)."""
+    with open(path, "rb") as probe:
+        if probe.read(7) == b"NIST_1A":
+            return _read_sphere(path)
     with wave.open(str(path), "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()

@@ -192,3 +192,135 @@ def test_kog2p_rulebook_loader(tmp_path):
         == ["t0", "oo", "ng", "nn", "ii", "pf"]
     # romanization invariants: '-' syllable / '#' word delimiters
     assert graph2phone("한 국") == "h0,aa,nf,#k0,uu,kf,"
+
+
+def test_parse_filt_prf_insertion_consumes_time_slot(tmp_path):
+    """An inserted HYP token HAS an H_T1/H_T2 slot; skipping it without
+    consuming shifts all later timestamps (reference bug, fixed here)."""
+    from mlvae_tpu.data.parsers import parse_filt_prf
+
+    header = "\n" * 25
+    body = (
+        'File: utt1\n'
+        'REF:  one two *** three\n'
+        'HYP:  one six two three\n'
+        'H_T1: 0.0 0.5 0.9 1.0\n'
+        'H_T2: 0.5 0.9 1.0 1.5\n'
+    )
+    path = tmp_path / "x.filt.prf"
+    path.write_text(header + body)
+    out = parse_filt_prf(path)
+    # 'three' must get ITS slot [1.0, 1.5], not the insertion's [0.9, 1.0]
+    assert out["utt1"][2] == [1.0, 1.5, "three"]
+
+
+def test_parse_filt_prf_continuation_groups(tmp_path):
+    """sclite wraps long alignments into REF/HYP/H_T1/H_T2 continuation
+    groups without a File row; they accumulate onto the utterance."""
+    from mlvae_tpu.data.parsers import parse_filt_prf
+
+    header = "\n" * 25
+    body = (
+        'File: utt1\n'
+        'REF:  one two\n'
+        'HYP:  one two\n'
+        'H_T1: 0.0 0.5\n'
+        'H_T2: 0.5 0.9\n'
+        'REF:  three\n'
+        'HYP:  three\n'
+        'H_T1: 0.9\n'
+        'H_T2: 1.3\n'
+        'File: utt2\n'
+        'REF:  four\n'
+        'HYP:  four\n'
+        'H_T1: 0.0\n'
+        'H_T2: 0.4\n'
+    )
+    (tmp_path / "y.filt.prf").write_text(header + body)
+    out = parse_filt_prf(tmp_path / "y.filt.prf")
+    assert len(out["utt1"]) == 3 and out["utt1"][2] == [0.9, 1.3, "three"]
+    assert out["utt2"] == [[0.0, 0.4, "four"]]
+
+
+def test_sphere_reader(tmp_path):
+    """LDC TIMIT ships NIST SPHERE, not RIFF (the reference used sph2pipe);
+    read_wav handles the PCM variant in-process."""
+    import numpy as np
+    from mlvae_tpu.data.wav import read_wav
+
+    rs = np.random.RandomState(0)
+    pcm = (rs.randn(1600) * 3000).astype("<i2")
+    header = (
+        "NIST_1A\n   1024\n"
+        "sample_rate -i 16000\n"
+        "channel_count -i 1\n"
+        "sample_n_bytes -i 2\n"
+        "sample_byte_format -s2 01\n"
+        "sample_coding -s3 pcm\n"
+        "end_head\n"
+    ).encode("ascii")
+    blob = header + b" " * (1024 - len(header)) + pcm.tobytes()
+    path = tmp_path / "si1.WAV"
+    path.write_bytes(blob)
+    wave_out, sr = read_wav(path)
+    assert sr == 16000 and len(wave_out) == 1600
+    np.testing.assert_allclose(wave_out, pcm.astype(np.float32) / 32768.0,
+                               atol=1e-6)
+
+    # shorten compression fails with a clear error
+    bad = blob.replace(b"-s3 pcm", b"-s26 pcm,embedded-shorten-v2.00")
+    (tmp_path / "bad.WAV").write_bytes(bad)
+    with pytest.raises(ValueError, match="shorten"):
+        read_wav(tmp_path / "bad.WAV")
+
+
+def test_parse_textgrid_skips_empty_slot_tokens(tmp_path):
+    """L2-ARCTIC deletion/addition tokens ('CPL,,d' / ',PPL,a') have an
+    empty comma slot; the reference crashes on them — skip with warning."""
+    from mlvae_tpu.data.datasets.L2_ARCTIC.parse_textgrid import \
+        parse_textgrid
+
+    tg_text = '''File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 1.0
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 1
+        intervals [1]:
+            xmin = 0
+            xmax = 1.0
+            text = "hi"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0
+            xmax = 0.4
+            text = "HH"
+        intervals [2]:
+            xmin = 0.4
+            xmax = 0.7
+            text = "IY,,d"
+        intervals [3]:
+            xmin = 0.7
+            xmax = 1.0
+            text = "AH,IY,s"
+'''
+    path = tmp_path / "u.TextGrid"
+    path.write_text(tg_text)
+    phns = parse_textgrid(path, "phoneme")
+    cnncls = parse_textgrid(path, "canonical_phoneme")
+    # the deletion interval is skipped; the substitution keeps both slots
+    assert phns == ["hh", "iy"]
+    assert cnncls == ["hh", "ah"]
