@@ -125,6 +125,23 @@ class SBModel(MDModel):
                 f"utterances with fewer frames than canonical phonemes "
                 f"(T < L), undecodable: {ids[:5]}"
                 f"{'...' if len(ids) > 5 else ''}")
+        # recognizer-target sanity (reference phoneme_recognizer.py:66-71
+        # asserts boundary count == L per sample; our in-graph gather clamps
+        # instead, so surface mismatched forced alignments here).  WARN, not
+        # raise: generate_boundary_seq legitimately drops a boundary when
+        # the bump-right collision rule pushes it past the last frame.
+        fa_b, fa_lens = batch["fa_boundary_seq"]
+        Tb = np.asarray(fa_b).shape[1]
+        tmask = np.arange(Tb)[None, :] < np.round(
+            np.asarray(fa_lens, np.float32) * Tb)[:, None]
+        ones = (np.asarray(fa_b) * tmask).sum(axis=1)
+        mism = np.where(ones != l)[0]
+        if len(mism):
+            ids = [batch["id"][i] for i in mism]
+            logger.warning(
+                "forced-alignment boundary count != canonical length for "
+                "%d utterance(s) (recognizer targets clamped): %s%s",
+                len(mism), ids[:5], "..." if len(ids) > 5 else "")
         return batch
 
     # ------------------------------------------------------------------

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
-
 from mlvae_tpu.nn.core import Module
 from mlvae_tpu.nn.layers import Linear, leaky_relu
 
@@ -20,6 +18,11 @@ class FCBlock(Module):
                  end_activation: bool = False):
         super().__init__()
         self.fc_sizes = [int(s) for s in fc_sizes]
+        if len(self.fc_sizes) < 2:
+            # the reference's nn.Linear(fc_sizes[-2], fc_sizes[-1]) raises
+            # here too; a silent identity would hide the config typo
+            raise ValueError(
+                f"fc_sizes needs at least [in, out], got {self.fc_sizes}")
         self.dropout = dropout  # accepted-but-unused, like the reference
         self.end_activation = bool(end_activation)
         self.layers = [
@@ -27,11 +30,8 @@ class FCBlock(Module):
             for i in range(len(self.fc_sizes) - 1)
         ]
 
-    def init(self, rng):
-        return {
-            f"lin{i}": layer.init(jax.random.fold_in(rng, i))
-            for i, layer in enumerate(self.layers)
-        }
+    # init is inherited from Module (fold_in per child in insertion order —
+    # byte-identical to the previous local override)
 
     def apply(self, params, x, rng=None, train: bool = False, **kwargs):
         n = len(self.layers)

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
 
 from mlvae_tpu.nn.core import Module, RngStream
 from mlvae_tpu.nn.layers import Linear

@@ -10,10 +10,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
 
 from mlvae_tpu.nn.core import Module, RngStream
-from mlvae_tpu.nn.layers import Linear, leaky_relu
+from mlvae_tpu.nn.layers import Linear
 from mlvae_tpu.nn import dist as D
 from mlvae_tpu.modules.fc_block import FCBlock
 

@@ -16,7 +16,7 @@ from mlvae_tpu.nn.core import Module, uniform_init
 
 
 def leaky_relu(x, negative_slope: float = 0.01):
-    return jnp.where(x >= 0, x, negative_slope * x)
+    return jax.nn.leaky_relu(x, negative_slope)
 
 
 def softplus(x):
@@ -106,8 +106,12 @@ class Sequential(Module):
         }
 
     def apply(self, params, x, rng=None, train: bool = False, **kwargs):
+        # ensure ONE stream here: handing the same raw key to every child
+        # would give stochastic children bitwise-identical randomness
+        from mlvae_tpu.nn.core import RngStream
+        stream = RngStream.ensure(rng) if rng is not None else None
         for i, m in enumerate(self.modules):
-            x = m.apply(params[str(i)], x, rng=rng, train=train)
+            x = m.apply(params[str(i)], x, rng=stream, train=train)
         return x
 
 
