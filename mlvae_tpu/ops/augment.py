@@ -40,7 +40,13 @@ class WaveAugment:
         waves = np.atleast_2d(np.asarray(waves, np.float32))
         if lens is None:
             lens = np.full((waves.shape[0],), waves.shape[1], np.int64)
-        lens = np.atleast_1d(np.asarray(lens)).astype(np.int64)
+        lens = np.atleast_1d(np.asarray(lens, np.float64))
+        if lens.size and float(lens.max()) <= 1.0:
+            # SpeechBrain convention (the reference calls the augmenter
+            # with torch.ones(B), data_io.py:206): RELATIVE lengths — a
+            # plain int cast would truncate them to 0/1 samples
+            lens = np.round(lens * waves.shape[1])
+        lens = lens.astype(np.int64)
         out = []
         for wave, n in zip(waves, lens):
             n = int(n)
