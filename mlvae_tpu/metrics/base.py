@@ -23,7 +23,9 @@ class BaseMetricStats:
             raise ValueError("No metric_fn has been provided")
         self.ids.extend(ids)
         self.scores_list.extend(self.metric_fn(**kwargs))
-        if not self.metric_keys:
+        # an all-filtered batch can yield zero score dicts: defer key
+        # capture to the first non-empty append
+        if not self.metric_keys and self.scores_list:
             self.metric_keys = list(self.scores_list[0].keys())
 
     def summarize(self, field: Optional[str] = None):

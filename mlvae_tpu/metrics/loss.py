@@ -21,12 +21,14 @@ class LossMetricStats:
         self.loss_list.append(loss)
 
     def summarize(self, field: Optional[str] = None):
-        if field is not None:
-            raise ValueError("field must be None")
         if not self.loss_list:
             raise ValueError(f"no values appended for {self.name}")
-        return {"loss": float(np.mean([float(np.asarray(l))
-                                       for l in self.loss_list]))}
+        stats = {"loss": float(np.mean([float(np.asarray(l))
+                                        for l in self.loss_list]))}
+        # dotted metric keys ('recon_loss.loss') address a field like every
+        # other stats class — raising here made md_model's no-data handler
+        # silently drop the metric
+        return stats if field is None else stats[field]
 
     def write_stats(self, f):
         f.write(f"{self.name}: {self.summarize()}\n")

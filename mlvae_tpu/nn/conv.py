@@ -17,6 +17,10 @@ class Conv2d(Module):
         super().__init__()
         self.in_channels = int(in_channels)
         self.out_channels = int(out_channels)
+        if isinstance(kernel_size, int):  # torch-style scalar broadcast
+            kernel_size = (kernel_size, kernel_size)
+        if isinstance(stride, int):
+            stride = (stride, stride)
         self.kernel_size = tuple(int(k) for k in kernel_size)
         self.stride = tuple(int(s) for s in stride)
         self.bias = bool(bias)
@@ -59,6 +63,11 @@ def max_pool(x, window, strides):
 
 
 def layer_norm(x, gamma, beta, eps: float = 1e-5):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    # f32 statistics (torch-autocast policy, same as every other norm in
+    # the repo); output returns in the stream dtype
+    xf = jnp.asarray(x, jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) \
+        * jnp.asarray(gamma, jnp.float32) + jnp.asarray(beta, jnp.float32)
+    return out.astype(x.dtype)

@@ -74,7 +74,12 @@ class Module:
 
     # -- parameters --------------------------------------------------------
     def init(self, rng: jax.Array) -> Dict[str, Any]:
-        """Default init: recursively init registered children."""
+        """Default init: recursively init registered children.
+
+        CAVEAT: keys fold by registration POSITION, so a conditionally
+        registered child shifts every later sibling's init under the same
+        seed — register optional children last (or override init) when
+        seed-for-seed ablation comparability matters."""
         params: Dict[str, Any] = {}
         for i, (name, child) in enumerate(self.children.items()):
             params[name] = child.init(jax.random.fold_in(rng, i))

@@ -68,13 +68,19 @@ class InputNormalization(Module):
         cur_std = jnp.sqrt(jnp.maximum(var, eps))  # (B, C)
 
         if self.norm_type == "sentence":
-            out = (feats - cur_mean[:, None, :]) / cur_std[:, None, :]
+            out = feats
+            if self.mean_norm:
+                out = out - cur_mean[:, None, :]
+            if self.std_norm:
+                out = out / cur_std[:, None, :]
             return out.astype(in_dtype), state
 
         if self.norm_type == "batch":
-            bmean = cur_mean.mean(axis=0)
-            bstd = jnp.maximum(cur_std.mean(axis=0), eps)
-            out = (feats - bmean) / bstd
+            out = feats
+            if self.mean_norm:
+                out = out - cur_mean.mean(axis=0)
+            if self.std_norm:
+                out = out / jnp.maximum(cur_std.mean(axis=0), eps)
             return out.astype(in_dtype), state
 
         # global: fold batch stats into running averages when updating
@@ -87,12 +93,12 @@ class InputNormalization(Module):
         new_count = count + do_update * B
         w_old = jnp.where(new_count > 0, count / jnp.maximum(new_count, 1.0), 0.0)
         w_new = jnp.where(new_count > 0, 1.0 - w_old, 0.0)
+        # first-ever update is implied: count==0 makes w_old 0 / w_new 1,
+        # so upd_* already equal the batch stats
         upd_mean = w_old * state["glob_mean"] + w_new * cur_mean.mean(axis=0)
         upd_std = w_old * state["glob_std"] + w_new * cur_std.mean(axis=0)
-        # first-ever batch: adopt batch stats entirely
-        first = (count == 0) & (do_update > 0)
-        glob_mean = jnp.where(first, cur_mean.mean(axis=0), jnp.where(do_update > 0, upd_mean, state["glob_mean"]))
-        glob_std = jnp.where(first, cur_std.mean(axis=0), jnp.where(do_update > 0, upd_std, state["glob_std"]))
+        glob_mean = jnp.where(do_update > 0, upd_mean, state["glob_mean"])
+        glob_std = jnp.where(do_update > 0, upd_std, state["glob_std"])
         glob_std = jnp.maximum(glob_std, eps)
 
         out = feats

@@ -77,7 +77,9 @@ class PhonemeSetHandler:
         if language == "english":
             assert n_phonemes in (60, 48, 39)
         elif language == "digits":
-            assert n_phonemes in (11, 12)
+            # the digit set is fixed at 12 (10 digits + sil + err), like
+            # the reference (utils/phonemes.py:93-95)
+            assert n_phonemes == len(DIGITS)
         self.language = language
         self.n_phonemes = n_phonemes
         self.phoneme_set = get_phoneme_set(language, n_phonemes, **kwargs)
