@@ -13,32 +13,102 @@ f32 (``nn/dist.py`` mirrors torch autocast's fp32 op list; one-step loss
 matches f32 to ~1e-5 relative, ``tests/test_mixed_precision.py``).
 
 ``vs_baseline``: BASELINE.md's north-star target is >=5x the reference's
-A100 throughput; the reference publishes no numbers (BASELINE.json
-``published: {}``), so the denominator is an engineering estimate of the
-reference implementation, documented here: eager PyTorch step (B=8,
-~3-second utterances => 24 utt-sec/batch) at ~0.6 s/step including the
-joblib fork-pool CPU decode that runs inside every forward pass
-(reference ``decode_utils.py:546-551``) => ~40 utt-sec/sec. The 5x target
-is therefore 200 utt-sec/sec/chip, and ``vs_baseline`` reports
-measured / 40 (i.e. >5 means the target is beaten).
+A100 throughput.  The reference publishes no numbers (BASELINE.json
+``published: {}``), so the denominator is MEASURED: ``tools/bench_torch_ref.py``
+times a faithful torch re-implementation of the reference training step
+(fit_batch + the in-forward joblib/threaded CPU Viterbi decode, reference
+``md_model.py:54-88`` + ``MD_VAE/model.py:61-160`` + ``decode_utils.py:546-551``)
+on this host, and docs/PERF.md documents the host->A100 scaling argument.
+See ``A100_REF_UTT_SEC_PER_SEC`` below for the resulting figure.  The 5x
+gate is ``vs_baseline >= 5``.
 
-Prints exactly one JSON line.
+Robustness: the axon TPU tunnel has multi-hour outages (round-1 bench died
+with a raw traceback, BENCH_r01.json rc=1 parsed=null).  This script now
+(a) probes the backend in a bounded subprocess and waits/retries for up to
+``MLVAE_BENCH_PROBE_SECS`` (default 1800 s) for the tunnel to return, and
+(b) prints exactly ONE JSON line on EVERY exit path — a real measurement,
+or a structured ``{"error": ...}`` report — and always exits 0.
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
+import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-A100_REF_UTT_SEC_PER_SEC = 40.0  # documented estimate (see module docstring)
+# Measured reference baseline (see tools/bench_torch_ref.py + docs/PERF.md):
+# torch re-implementation of the reference MD_VAE fit_batch on this host,
+# scaled to A100 per the documented argument.  Falls back to the round-1
+# engineering estimate only if the measurement file is absent.
+_BASELINE_FILE = Path(__file__).resolve().parent / "docs" / "torch_ref_baseline.json"
+A100_REF_UTT_SEC_PER_SEC = 40.0  # pre-measurement fallback
+_BASELINE_SOURCE = "estimate"
+if _BASELINE_FILE.exists():
+    try:
+        _b = json.loads(_BASELINE_FILE.read_text())
+        A100_REF_UTT_SEC_PER_SEC = float(_b["a100_utt_sec_per_sec"])
+        _BASELINE_SOURCE = "measured:" + str(_b.get("measured_on", "host"))
+    except Exception:
+        pass
 
 HOP_SEC = 0.02
 
+PROBE_CODE = "import jax; jax.devices()[0]"
 
-def main():
+
+def emit(payload: dict) -> None:
+    """The single stdout JSON line the driver parses."""
+    sys.stdout.write(json.dumps(payload) + "\n")
+    sys.stdout.flush()
+
+
+def error_payload(kind: str, detail: str = "", **extra) -> dict:
+    p = {
+        "metric": "md_vae_train_throughput",
+        "value": 0.0,
+        "unit": "utt-sec/sec/chip",
+        "vs_baseline": 0.0,
+        "error": kind,
+    }
+    if detail:
+        p["detail"] = detail[-800:]
+    p.update(extra)
+    return p
+
+
+def probe_backend(total_wait_s: float) -> tuple[bool, float]:
+    """Probe ``jax.devices()`` in a bounded subprocess; wait and retry until
+    the backend answers or the deadline passes.  A subprocess is used because
+    a failed in-process backend init can poison the jax client for the rest
+    of the run (and a hung tunnel init ignores SIGINT but not SIGKILL)."""
+    deadline = time.monotonic() + total_wait_s
+    waited0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", PROBE_CODE],
+                timeout=180,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True, time.monotonic() - waited0
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False, time.monotonic() - waited0
+        # bounded backoff: outages are hour-scale, probe every 60 s
+        time.sleep(min(60.0, max(1.0, deadline - time.monotonic())))
+
+
+def run_bench() -> dict:
     from mlvae_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()  # warm-starts repeat bench runs (cold: ~40 s)
@@ -49,8 +119,9 @@ def main():
     from mlvae_tpu.models.MD_VAE.model import Target
     from mlvae_tpu.training.brain import Stage
 
+    platform = jax.devices()[0].platform
+
     B, T, L = 128, 160, 8  # 128 x 3.2-second utterances per step
-    import os
     model = build_md_vae(batch_size=B)
     # AMP (bf16 streams, f32 loss math) by default; MLVAE_BENCH_PRECISION=f32
     # reproduces the documented full-f32 figure.
@@ -88,12 +159,36 @@ def main():
 
     utt_sec_per_step = B * T * HOP_SEC
     throughput = utt_sec_per_step / dt
-    print(json.dumps({
+    return {
         "metric": "md_vae_train_throughput",
         "value": round(throughput, 2),
         "unit": "utt-sec/sec/chip",
         "vs_baseline": round(throughput / A100_REF_UTT_SEC_PER_SEC, 2),
-    }))
+        "platform": platform,
+        "baseline_utt_sec_per_sec": A100_REF_UTT_SEC_PER_SEC,
+        "baseline_source": _BASELINE_SOURCE,
+    }
+
+
+def main() -> None:
+    total_wait = float(os.environ.get("MLVAE_BENCH_PROBE_SECS", "1800"))
+    try:
+        ok, waited = probe_backend(total_wait)
+    except Exception as e:  # never let the probe itself kill the JSON line
+        emit(error_payload("probe_failed", repr(e)))
+        return
+    if not ok:
+        emit(error_payload(
+            "tpu_unavailable",
+            "backend probe (`jax.devices()`) failed for the whole wait "
+            "window; axon tunnel outage (see docs/PERF.md)",
+            probe_waited_s=round(waited, 1),
+        ))
+        return
+    try:
+        emit(run_bench())
+    except Exception:
+        emit(error_payload("bench_failed", traceback.format_exc()))
 
 
 if __name__ == "__main__":
