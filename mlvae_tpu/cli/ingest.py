@@ -29,9 +29,11 @@ def ingest(src_dir, dst_dir, rate: int = 16000) -> int:
     src_dir, dst_dir = Path(src_dir), Path(dst_dir)
     n = 0
     # one suffix-insensitive pass: two rglob patterns would double-process
-    # every file on case-insensitive filesystems
+    # every file on case-insensitive filesystems.  ".wav" covers both RIFF
+    # and LDC TIMIT's SPHERE-with-.WAV-suffix files; ".sph" covers corpora
+    # that use the explicit SPHERE suffix.
     paths = sorted(p for p in src_dir.rglob("*")
-                   if p.is_file() and p.suffix.lower() == ".wav")
+                   if p.is_file() and p.suffix.lower() in (".wav", ".sph"))
     seen_out = set()
     for path in paths:
         rel = path.relative_to(src_dir)
@@ -43,7 +45,12 @@ def ingest(src_dir, dst_dir, rate: int = 16000) -> int:
             continue
         seen_out.add(out_path)
         if lib is not None:
-            wave, sr = native.read_wav(path)
+            try:
+                wave, sr = native.read_wav(path)
+            except IOError:
+                # formats only the python reader covers (e.g. SPHERE with
+                # embedded-shorten payloads) fall back per-file
+                wave, sr = read_wav(path)
             if sr != rate:
                 wave = native.resample(wave, sr, rate)
         else:

@@ -18,9 +18,9 @@ import numpy as np
 def _read_sphere(path) -> tuple[np.ndarray, int]:
     """NIST SPHERE reader (the LDC TIMIT distribution format, which the
     reference converted with sph2pipe, ``datasets/prepare_kaldi.py:36-42``):
-    1024-byte ASCII header of 'name -type value' lines, then PCM/ulaw data.
-    Shorten-compressed files ('embedded-shorten') are not supported and
-    raise a clear error."""
+    1024-byte ASCII header of 'name -type value' lines, then PCM/ulaw data,
+    either raw or shorten-compressed ('embedded-shorten-v*', the actual LDC
+    TIMIT encoding — decoded natively by ``data/shorten.py``)."""
     with open(path, "rb") as f:
         magic = f.read(8)
         assert magic.startswith(b"NIST_1A")
@@ -35,13 +35,25 @@ def _read_sphere(path) -> tuple[np.ndarray, int]:
         raw = f.read()
 
     coding = fields.get("sample_coding", "pcm")
-    if "shorten" in coding:
-        raise ValueError(
-            f"{path}: shorten-compressed SPHERE is not supported; convert "
-            "with sph2pipe first")
     sr = int(fields.get("sample_rate", 16000))
     ch = int(fields.get("channel_count", 1))
     nbytes = int(fields.get("sample_n_bytes", 2))
+    if "shorten" in coding:
+        from mlvae_tpu.data.shorten import (ULAW_TYPES, decode_shorten,
+                                            ulaw_to_linear)
+        samples, ftype, nchan = decode_shorten(raw)
+        count = fields.get("sample_count")
+        if count is not None:
+            samples = samples[: int(count)]
+        if ftype in ULAW_TYPES or coding.startswith(("ulaw", "mu-law")):
+            data = ulaw_to_linear(samples).astype(np.float32) / 8192.0
+        else:
+            data = samples.astype(np.float32) / 32768.0
+        if nchan > 1:
+            data = data.mean(axis=1)
+        else:
+            data = data[:, 0]
+        return data, sr
     if coding.startswith("ulaw") or coding.startswith("mu-law"):
         u = np.frombuffer(raw, np.uint8).astype(np.int16)
         u = ~u & 0xFF
