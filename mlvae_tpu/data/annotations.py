@@ -74,15 +74,16 @@ def apply_plvl_saved_md_results(x, saved_md_results):
     return _drop_indices(x, [idx for idx, _, _ in saved_md_results])
 
 
-def apply_boundary_saved_md_results(x, saved_md_results):
-    """Remove the frame span of each flagged phoneme from a boundary seq.
+def flagged_frame_indices(boundary_seq, saved_md_results) -> List[int]:
+    """Frame indices covered by the flagged phonemes' spans, where spans
+    are delimited by the 1-markers of ``boundary_seq``.
 
     The boundary sequence can carry FEWER 1s than there are phonemes when
     ``generate_boundary_seq``'s bump-right collision rule pushed a start
     past the last frame (``annotations.py``); the reference indexes past
     the end and crashes there (``data_io_utils.py:301-303``) — we clamp
     the flagged span to the sequence tail instead."""
-    x_arr = np.asarray(x)
+    x_arr = np.asarray(boundary_seq)
     idx_seq = np.where(x_arr == 1)[0].tolist() + [len(x_arr)]
     invalid: List[int] = []
     last = len(idx_seq) - 1
@@ -90,4 +91,44 @@ def apply_boundary_saved_md_results(x, saved_md_results):
         start = idx_seq[min(idx, last)]
         end = idx_seq[min(idx + 1, last)]
         invalid += list(range(start, end))
+    return invalid
+
+
+def apply_frame_saved_md_results(x, invalid: List[int]):
+    """Remove a precomputed invalid-frame set from a frame-length key."""
     return _drop_indices(x, invalid)
+
+
+def apply_boundary_saved_md_results(x, saved_md_results):
+    """Remove the frame span of each flagged phoneme from a boundary seq."""
+    return _drop_indices(x, flagged_frame_indices(x, saved_md_results))
+
+
+def clean_boundary_seq_remap(boundary_seq, saved_md_results,
+                             invalid: List[int]):
+    """Clean a boundary key against a SHARED invalid-frame set: drop the
+    flagged phonemes' markers, then remap each surviving marker into the
+    cleaned frame grid (``new = old - #dropped_frames_before_old``) with the
+    same bump-right collision rule as ``generate_boundary_seq``.
+
+    This keeps every cleaned boundary key the same length as the cleaned
+    ``feat`` (so eval-time decoded boundaries and cleaned ground truth stay
+    comparable) while its marker count tracks the cleaned phoneme count.
+    When the key's own spans coincide with the invalid set (the
+    ``fa_boundary_seq`` case) this is identical to dropping the invalid
+    frames directly."""
+    x = np.asarray(boundary_seq)
+    pos = np.where(x == 1)[0]
+    flagged = {idx for idx, _, _ in saved_md_results}
+    keep = [int(p) for i, p in enumerate(pos) if i not in flagged]
+    inv = np.asarray(sorted(set(invalid)), np.int64)
+    T = len(x) - len(inv)
+    out = np.zeros(T, x.dtype)
+    for p in keep:
+        # a marker inside a dropped span lands at the span's start slot
+        q = p - int(np.searchsorted(inv, p, side="left"))
+        while q < T and out[q] == 1:
+            q += 1
+        if q < T:
+            out[q] = 1
+    return out

@@ -27,7 +27,10 @@ import numpy as np
 from mlvae_tpu.data.annotations import (
     apply_boundary_saved_md_results,
     apply_flvl_saved_md_results,
+    apply_frame_saved_md_results,
     apply_plvl_saved_md_results,
+    clean_boundary_seq_remap,
+    flagged_frame_indices,
     generate_boundary_seq,
     generate_flvl_annotation,
 )
@@ -340,12 +343,28 @@ def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
         with open(computed_dir / f"{set_name}.pkl", "rb") as f:
             computed = pickle.load(f)
 
-        # NOTE reference-faithful cleaning semantics (data_io.py:101-131):
-        # applied to ALL THREE sets (VALID/TEST ground truth is edited by the
-        # previous model's predictions too), frame spans addressed by the
-        # PREDICTED boundary percentages for flvl_/feat keys but by GT
-        # boundary positions for boundary_ keys, and 'wav'/'aug_wav' keys
-        # left untouched.
+        # NOTE cleaning semantics (reference data_io.py:101-131): applied to
+        # ALL THREE sets (VALID/TEST ground truth is edited by the previous
+        # model's predictions too), 'wav'/'aug_wav' keys left untouched.
+        # DELIBERATE DEVIATION: the reference addresses flvl_/feat spans by
+        # the saved PREDICTED-boundary percentages (saved in
+        # MD_VAE/model.py:240-248 from the decoded boundary seq) while
+        # boundary_ keys drop their own alignment spans
+        # (data_io_utils.py:284-314) — whenever the decoded boundaries
+        # disagree with the forced alignment the cleaned feat and
+        # fa_boundary_seq end up with different lengths, and the reference's
+        # own invariants (phoneme_recognizer.py:64-68: one boundary marker
+        # per phoneme, durations summing to the frame count) fail on the
+        # retrain.  We instead derive ONE invalid-frame set per utterance
+        # from the fa_boundary_seq spans of the flagged phonemes and apply
+        # it to every frame-length key, which keeps feat, flvl_* and
+        # fa_boundary_seq mutually consistent (and is identical to the
+        # reference whenever the decode matches the alignment).  boundary_
+        # keys clean against the SAME invalid set via marker remap
+        # (clean_boundary_seq_remap) so every cleaned boundary key keeps
+        # the cleaned feat's length — without this, gt_boundary_seq can end
+        # up a different length than the eval-time decoded boundary seq and
+        # boundary_md_scoring's length assertion fires on the retrain.
         if hparams.get("apply_saved_md_results", False) and \
                 hparams.get("saved_md_results_model_name") is not None:
             json_path = (
@@ -361,15 +380,28 @@ def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
                     continue
                 flvl_len = len(sample["feat"])
                 plvl_len = len(sample["gt_phn_seq"])
+                if "fa_boundary_seq" in sample:
+                    invalid_frames = flagged_frame_indices(
+                        sample["fa_boundary_seq"], saved[utt_id])
+                else:  # no alignment key: reference pct addressing
+                    invalid_frames = None
                 for key, data in sample.items():
                     if "flvl_" in key or "feat" in key:
                         assert len(data) == flvl_len
-                        sample[key] = apply_flvl_saved_md_results(
-                            data, saved[utt_id])
+                        if invalid_frames is not None:
+                            sample[key] = apply_frame_saved_md_results(
+                                data, invalid_frames)
+                        else:
+                            sample[key] = apply_flvl_saved_md_results(
+                                data, saved[utt_id])
                     elif "boundary_" in key:
                         assert len(data) == flvl_len
-                        sample[key] = apply_boundary_saved_md_results(
-                            data, saved[utt_id])
+                        if invalid_frames is not None:
+                            sample[key] = clean_boundary_seq_remap(
+                                data, saved[utt_id], invalid_frames)
+                        else:
+                            sample[key] = apply_boundary_saved_md_results(
+                                data, saved[utt_id])
                     elif "_seq" in key:
                         # phoneme-length keys: phn/cnncl/md/seg/phn_end seqs
                         assert len(data) == plvl_len

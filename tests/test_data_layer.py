@@ -89,6 +89,31 @@ def test_saved_md_appliers():
     np.testing.assert_array_equal(out, [1, 0, 0, 1, 0, 0, 0, 0])
 
 
+def test_clean_boundary_seq_remap():
+    res = [[1, 0.2, 0.4]]  # flagged phoneme index 1
+    # fa spans: markers at 0 / 3 / 5 -> flagged span = frames 3..4
+    fa = np.array([1, 0, 0, 1, 0, 1, 0, 0, 0, 0])
+    invalid = ann.flagged_frame_indices(fa, res)
+    assert invalid == [3, 4]
+    # cleaning fa against its own spans == dropping the invalid frames
+    out_fa = ann.clean_boundary_seq_remap(fa, res, invalid)
+    np.testing.assert_array_equal(
+        out_fa, ann.apply_boundary_saved_md_results(fa, res))
+    # gt markers disagree with fa (gt at 0/2/6): the cleaned key must keep
+    # the cleaned feat's LENGTH (10-2=8) while dropping the flagged marker
+    # and shifting the survivors left past the dropped block
+    gt = np.array([1, 0, 1, 0, 0, 0, 1, 0, 0, 0])
+    out_gt = ann.clean_boundary_seq_remap(gt, res, invalid)
+    assert len(out_gt) == 8 and int(out_gt.sum()) == 2
+    np.testing.assert_array_equal(out_gt, [1, 0, 0, 0, 1, 0, 0, 0])
+    # marker INSIDE the dropped span lands at the span start slot,
+    # bump-right on collision with an earlier surviving marker
+    gt2 = np.array([1, 0, 1, 1, 0, 0, 0, 0, 0, 0])
+    out_gt2 = ann.clean_boundary_seq_remap(gt2, [[0, 0, 0]], [0, 1])
+    assert len(out_gt2) == 8 and int(out_gt2.sum()) == 2
+    np.testing.assert_array_equal(out_gt2, [1, 1, 0, 0, 0, 0, 0, 0])
+
+
 def test_padded_batch_relative_lens():
     samples = [
         {"id": "a", "feat": np.ones((50, 3), np.float32)},

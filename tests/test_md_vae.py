@@ -78,10 +78,28 @@ def test_md_vae_train_eval_roundtrip(workdir):
     n_before_p = len(base.data[utt_id]["gt_phn_seq"])
     n_after_p = len(ds_clean.data[utt_id]["gt_phn_seq"])
     assert n_after_p == n_before_p - 1
+    # feat drops exactly the fa-boundary span of the flagged phoneme (NOT
+    # the saved pcts — see the deviation note in data_io.py), so every
+    # frame-level key stays consistent with the alignment the retrain uses
+    import numpy as np
+    fa_before = np.asarray(base.data[utt_id]["fa_boundary_seq"])
+    starts = np.flatnonzero(fa_before == 1).tolist() + [len(fa_before)]
+    span = starts[2] - starts[1]  # flagged phoneme idx 1
     n_before_f = len(base.data[utt_id]["feat"])
-    n_after_f = len(ds_clean.data[utt_id]["feat"])
-    assert n_after_f == n_before_f - (round(0.5 * n_before_f)
-                                      - round(0.25 * n_before_f))
+    clean = ds_clean.data[utt_id]
+    assert len(clean["feat"]) == n_before_f - span
+    # retrain invariants (reference phoneme_recognizer.py:64-68): one
+    # boundary marker per remaining phoneme; spans partition the frames
+    fa_after = np.asarray(clean["fa_boundary_seq"])
+    assert len(fa_after) == len(clean["feat"]) == len(clean["flvl_gt_phn_seq"])
+    assert int((fa_after == 1).sum()) == n_after_p
+    # gt_boundary_seq cleans against the SAME frame set (marker remap), so
+    # it too keeps the cleaned feat length and the plvl marker count —
+    # eval-time boundary_md_scoring compares it against a decoded boundary
+    # seq of exactly len(feat) frames
+    gt_after = np.asarray(clean["gt_boundary_seq"])
+    assert len(gt_after) == len(clean["feat"])
+    assert int((gt_after == 1).sum()) == n_after_p
 
 
 def test_frozen_branches_do_not_drift():
