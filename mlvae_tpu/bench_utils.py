@@ -36,6 +36,14 @@ def build_md_vae(n_epochs: int = 3, batch_size: int = 8, overrides=None):
         "n_phonemes": N_PHONEMES,
         "batch_size": batch_size,
         "kld_n_samples": 2249,
+        # The reference yaml defines only the three kld/nll weights and
+        # defaults every other loss weight to 1 with a UserWarning
+        # (reference md_model.py:189-201).  Pin the defaulted ones to the
+        # same value explicitly so bench/dryrun output stays warning-free
+        # while the weighting is bit-identical to the reference.
+        "phn_recog_bce_weight": 1.0,
+        "boundary_bce_weight": 1.0,
+        "recon_weight": 1.0,
     }
     injected.update(overrides or {})
     with open(model_yaml) as f:
