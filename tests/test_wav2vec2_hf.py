@@ -134,3 +134,98 @@ def test_encoder_dropout_fires_when_finetuning(tmp_path):
                                      train=True))
     f2 = np.asarray(enc_frozen.apply(pf, wav, train=False))
     np.testing.assert_array_equal(f1, f2)
+
+
+def test_large_lv60_config_adoption(tmp_path):
+    """The flagship recipes name ``facebook/wav2vec2-large-lv60``
+    (reference ``w2v_MD_VAE/model.yaml:11-15``).  Write that model's
+    actual config.json locally (architecture fields from the published HF
+    config) and verify the encoder adopts the FULL large-lv60 topology —
+    24 pre-LN layers, 1024 hidden, 16 heads, layer-norm extractor with
+    conv biases — via the snapshot-config discovery path (construction
+    only; 317M-param init is exercised at tiny scale elsewhere)."""
+    import json
+
+    from mlvae_tpu.modules.wav2vec2 import Wav2Vec2Encoder, conv_output_length
+
+    snap = tmp_path / "wav2vec2-large-lv60"
+    snap.mkdir()
+    (snap / "config.json").write_text(json.dumps({
+        "model_type": "wav2vec2",
+        "architectures": ["Wav2Vec2ForPreTraining"],
+        "hidden_size": 1024, "num_hidden_layers": 24,
+        "num_attention_heads": 16, "intermediate_size": 4096,
+        "conv_dim": [512, 512, 512, 512, 512, 512, 512],
+        "conv_kernel": [10, 3, 3, 3, 3, 2, 2],
+        "conv_stride": [5, 2, 2, 2, 2, 2, 2],
+        "conv_bias": True, "feat_extract_norm": "layer",
+        "do_stable_layer_norm": True,
+        "num_conv_pos_embeddings": 128,
+        "num_conv_pos_embedding_groups": 16,
+        "layer_norm_eps": 1e-5,
+        "hidden_dropout": 0.1, "attention_dropout": 0.1,
+        "feat_proj_dropout": 0.1, "activation_dropout": 0.1,
+    }))
+
+    enc = Wav2Vec2Encoder(source=str(snap), output_size=1024)
+    assert enc.hidden_size == 1024 and enc.num_hidden_layers == 24
+    assert enc.num_attention_heads == 16 and enc.intermediate_size == 4096
+    assert enc.do_stable_layer_norm and enc.conv_bias
+    assert enc.feat_extract_norm == "layer"
+    assert enc.conv_kernel == (10, 3, 3, 3, 3, 2, 2)
+    assert enc.conv_stride == (5, 2, 2, 2, 2, 2, 2)
+    # 320x downsampling of 16 kHz audio -> 49 frames/sec, the rate the
+    # recipes re-pad against fbank's 50/sec (w2v_MD_VAE/model.py:35-40)
+    assert enc.conv_output_length(16000) == conv_output_length(
+        16000, kernels=enc.conv_kernel, strides=enc.conv_stride) == 49
+    assert enc._has_snapshot and not enc._pretrained_loaded
+
+
+def test_pretrained_snapshot_through_recipe_fit(tmp_path, monkeypatch):
+    """End-to-end pretrained-weights evidence at recipe level (not just
+    the encoder): point w2v_MD_VAE's yaml at a local large-lv60-FAMILY
+    snapshot (stable-LN topology at test scale), drive cli.train through
+    a debug fit, and assert the recipe's parameter tree actually carries
+    the converted HF weights — bit-identical after training, because the
+    yaml freezes the encoder (reference freeze: True semantics)."""
+    import jax
+    import torch
+    from pathlib import Path
+
+    monkeypatch.chdir(tmp_path)
+    from mlvae_tpu.cli import train as train_cli
+    from mlvae_tpu.modules.wav2vec2 import params_from_hf_model
+
+    REPO = Path(__file__).resolve().parent.parent
+    snap = tmp_path / "snap"
+    hf = _make_hf(snap, stable=True)
+    expected = params_from_hf_model(hf)
+
+    overrides = ("{model: {n_epochs: 1, wav2vec2_size: 32, "
+                 "wav2vec2: {source: %s}}}" % snap)
+    model = train_cli.main([
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", "w2v_MD_VAE",
+        "--model_name", "w2v_pretrained",
+        "--model", f"!include:{REPO}/mlvae_tpu/models/w2v_MD_VAE/model.yaml",
+        "--extra_overrides", overrides,
+        "--debug", "--debug_batches", "1",
+    ])
+
+    enc = model.modules["wav2vec2"]
+    assert enc._pretrained_loaded and enc.do_stable_layer_norm
+    got = model.params["wav2vec2"]
+    flat_got = jax.tree_util.tree_leaves_with_path(got)
+    flat_exp = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(expected))
+    assert len(flat_got) == len(flat_exp) > 0
+    for path, value in flat_got:
+        np.testing.assert_array_equal(
+            np.asarray(value), np.asarray(flat_exp[jax.tree_util.keystr(path)]),
+            err_msg=jax.tree_util.keystr(path))
+    log = (tmp_path / "results/w2v_pretrained/train_log.txt").read_text()
+    assert "loss" in log
