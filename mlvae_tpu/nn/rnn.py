@@ -47,6 +47,13 @@ PALLAS_LSTM_ENABLED = True
 PALLAS_LSTM_MESH = None          # set by the Brain via set_pallas_mesh
 PALLAS_LSTM_DATA_AXIS = "data"
 
+# Fused input-projection kernel variant (the (T,B,4H) gates tensor never
+# touches HBM — docs/PERF.md "headroom" item).  Opt-in via
+# MLVAE_PALLAS_FUSED=1 until validated on hardware; tools/bench_lstm_fused.py
+# A/Bs both settings on the real chip.
+import os as _os
+PALLAS_LSTM_FUSED = _os.environ.get("MLVAE_PALLAS_FUSED", "0") == "1"
+
 
 def set_pallas_mesh(mesh) -> None:
     """Publish (or clear, with None) the active device mesh for the Pallas
@@ -125,6 +132,29 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     state after the last PROCESSED step (for ``reverse=True`` that is t=0,
     matching torch's bidirectional convention).
     """
+    H = w_hh.shape[1]
+
+    if h0 is None and c0 is None and _pallas_eligible(x, H):
+        from mlvae_tpu.ops.lstm_pallas import fused_eligible
+        if PALLAS_LSTM_FUSED and fused_eligible(x.shape[-1], H, x.dtype):
+            # fused variant: the input projection moves INTO the kernel,
+            # so the (T,B,4H) gates tensor never exists in HBM
+            if PALLAS_LSTM_MESH is not None:
+                from mlvae_tpu.ops.lstm_pallas import sharded_lstm_layer_fused
+                fused = sharded_lstm_layer_fused(PALLAS_LSTM_MESH,
+                                                 PALLAS_LSTM_DATA_AXIS)
+            else:
+                from mlvae_tpu.ops.lstm_pallas import lstm_layer_fused as fused
+            bias = b_ih + b_hh
+            if not hasattr(bias, "shape") or bias.shape != (4 * H,):
+                bias = jnp.zeros((4 * H,), jnp.float32) + bias
+            hs, c_last = fused(x, w_ih.astype(x.dtype),
+                               bias.astype(jnp.float32),
+                               w_hh.astype(x.dtype), reverse)
+            h_last = hs[0] if reverse else hs[-1]
+            return (hs.astype(x.dtype), h_last.astype(x.dtype),
+                    c_last.astype(x.dtype))
+
     # One big MXU matmul for all timesteps, emitted directly in time-major
     # layout — no transpose between the projection and the recurrence.
     gates_x = (
@@ -132,7 +162,6 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         + b_ih
         + b_hh
     )  # (T, B, 4H)
-    H = w_hh.shape[1]
 
     if h0 is None and c0 is None and _pallas_eligible(x, H):
         if PALLAS_LSTM_MESH is not None:

@@ -308,6 +308,302 @@ def _vjp_bwd(reverse, interpret, residuals, cotangents):
 lstm_layer.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# --------------------------------------------------------------------------
+# Fused input-projection variant: the (T,B,4H) gates tensor never exists
+# --------------------------------------------------------------------------
+#
+# The unfused path touches the gates tensor five times per layer (XLA
+# projection write, forward read, backward read, dgx write, dgx read by the
+# dX/dW_ih/db matmuls) — ~43% of the whole training step's HBM traffic
+# (docs/PERF.md roofline).  Here the input projection joins the recurrence
+# inside the kernel: W_ih^T sits in VMEM next to W_hh^T, the forward streams
+# x (T,B,In) instead of gx (T,B,4H), and the backward streams x in and dX
+# out while accumulating dW_ih and db in VMEM alongside dW_hh.  For In = H
+# that replaces ~5 x (T,B,4H) of traffic with ~3 x (T,B,In).
+
+
+def _fwd_fused_kernel(x_ref, wih_t_ref, bias_ref, whh_t_ref, hs_ref, cs_ref,
+                      h_scr, c_scr, *, H: int):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    # both projections as bf16/f32 MXU passes with f32 accumulation; the
+    # bias was already folded to f32
+    gates = (jnp.dot(x_ref[0], wih_t_ref[:],
+                     preferred_element_type=jnp.float32)
+             + bias_ref[:]
+             + jnp.dot(h.astype(whh_t_ref.dtype), whh_t_ref[:],
+                       preferred_element_type=jnp.float32))
+    i = _sigmoid(gates[:, 0 * H:1 * H])
+    f = _sigmoid(gates[:, 1 * H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = _sigmoid(gates[:, 3 * H:4 * H])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    hs_ref[0] = h_new.astype(hs_ref.dtype)
+    cs_ref[0] = c_new
+    h_scr[:] = h_new
+    c_scr[:] = c_new
+
+
+def _bwd_fused_kernel(x_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
+                      dc_last_ref, wih_t_ref, bias_ref, whh_t_ref,
+                      dx_ref, dwih_ref, db_ref, dwhh_ref, dh_scr, dc_scr,
+                      *, H: int):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = dc_last_ref[:]
+
+    @pl.when((r == 0) & (b == 0))
+    def _():
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+
+    valid = (r != pl.num_programs(1) - 1).astype(jnp.float32)
+
+    # recompute the pre-activations from the streamed x block and the
+    # shifted h trajectory view — two MXU dots on the idle MXU instead of
+    # reading a (T,B,4H) residual from HBM
+    h_prev = hs_prev_ref[0] * valid.astype(hs_prev_ref.dtype)
+    x_t = x_ref[0]
+    gates = (jnp.dot(x_t, wih_t_ref[:], preferred_element_type=jnp.float32)
+             + bias_ref[:]
+             + jnp.dot(h_prev.astype(whh_t_ref.dtype), whh_t_ref[:],
+                       preferred_element_type=jnp.float32))
+    i = _sigmoid(gates[:, 0 * H:1 * H])
+    f = _sigmoid(gates[:, 1 * H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = _sigmoid(gates[:, 3 * H:4 * H])
+    c_t = cs_ref[0]
+    c_prev = cs_prev_ref[0] * valid
+
+    dh = dhs_ref[0].astype(jnp.float32) + dh_scr[:]
+    tanh_c = jnp.tanh(c_t)
+    do = dh * tanh_c
+    dc = dc_scr[:] + dh * o * (1.0 - tanh_c * tanh_c)
+    di = dc * g
+    dg = dc * i
+    df = dc * c_prev
+    dc_scr[:] = dc * f
+
+    dgates = jnp.concatenate([
+        di * i * (1.0 - i),
+        df * f * (1.0 - f),
+        dg * (1.0 - g * g),
+        do * o * (1.0 - o),
+    ], axis=1)  # (BB, 4H) f32
+    dgates_w = dgates.astype(whh_t_ref.dtype)
+    # dX streams out in the x dtype; dW_ih / db / dW_hh accumulate f32 in
+    # constant-indexed VMEM blocks across the whole grid
+    dx_ref[0] = jax.lax.dot_general(
+        dgates_w, wih_t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dwih_ref[:] = dwih_ref[:] + jnp.dot(
+        x_t.T, dgates_w, preferred_element_type=jnp.float32)
+    db_ref[:] = db_ref[:] + jnp.sum(dgates, axis=0, keepdims=True)
+    dh_scr[:] = jax.lax.dot_general(
+        dgates_w, whh_t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwhh_ref[:] = dwhh_ref[:] + jnp.dot(
+        h_prev.astype(whh_t_ref.dtype).T, dgates_w,
+        preferred_element_type=jnp.float32)
+
+
+# scoped-VMEM budget for the fused BACKWARD residents (W_ih^T + W_hh^T in
+# the stream dtype, dW_ih + dW_hh f32 accumulators); streams double-buffer
+# in what remains of the ~16 MB window
+FUSED_RESIDENT_BUDGET = 13 * 1024 * 1024
+
+
+def fused_eligible(In: int, H: int, dtype) -> bool:
+    """Static dispatch predicate for the fused path: lane-aligned input
+    feature dim (the x/dX blocks put In on the 128-wide lane axis) and the
+    backward kernel's resident weights + accumulators within budget."""
+    if In % 128 != 0 or H % 128 != 0:
+        return False
+    wbytes = jnp.dtype(dtype).itemsize
+    resident = (In + H) * 4 * H * wbytes + (In + H) * 4 * H * 4
+    return resident <= FUSED_RESIDENT_BUDGET
+
+
+def _run_fwd_fused(x, w_ih, bias, w_hh, reverse: bool, interpret: bool):
+    """x: (T, B, In); w_ih: (4H, In) / w_hh: (4H, H) torch layout;
+    bias: (4H,) f32 (b_ih + b_hh folded)."""
+    T, B, In = x.shape
+    H = w_hh.shape[1]
+    BB = _b_block(B, align=_sublane(x.dtype))
+    tm = _time_map(T, reverse)
+    hs, cs = pl.pallas_call(
+        functools.partial(_fwd_fused_kernel, H=H),
+        grid=(B // BB, T),
+        in_specs=[
+            pl.BlockSpec((1, BB, In), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((In, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w_ih.T, bias.astype(jnp.float32).reshape(1, -1), w_hh.T)
+    return hs, cs
+
+
+def _run_bwd_fused(x, w_ih, bias, w_hh, hs, cs, dhs, dc_last,
+                   reverse: bool, interpret: bool):
+    T, B, In = x.shape
+    H = w_hh.shape[1]
+    G = 4 * H
+    BB = _b_block_bwd(B, x.dtype)
+    tm = _time_map(T, not reverse)
+    if reverse:
+        tm_prev = lambda b, r: (jnp.minimum(r + 1, T - 1), b, 0)
+    else:
+        tm_prev = lambda b, r: (jnp.maximum(T - 2 - r, 0), b, 0)
+    const = lambda b, r: (0, 0)
+    dx, dwih, db, dwhh = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, H=H),
+        grid=(B // BB, T),
+        in_specs=[
+            pl.BlockSpec((1, BB, In), tm, memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec((1, BB, H), tm_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),    # c_t
+            pl.BlockSpec((1, BB, H), tm_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),    # dhs
+            pl.BlockSpec((BB, H), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),                    # dc_last
+            pl.BlockSpec((In, G), const, memory_space=pltpu.VMEM),    # w_ih^T
+            pl.BlockSpec((1, G), const, memory_space=pltpu.VMEM),     # bias
+            pl.BlockSpec((H, G), const, memory_space=pltpu.VMEM),     # w_hh^T
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BB, In), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((In, G), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, In), x.dtype),
+            jax.ShapeDtypeStruct((In, G), jnp.float32),
+            jax.ShapeDtypeStruct((1, G), jnp.float32),
+            jax.ShapeDtypeStruct((H, G), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, cs, cs, hs, dhs, dc_last,
+      w_ih.T, bias.astype(jnp.float32).reshape(1, -1), w_hh.T)
+    return (dx, dwih.T.astype(w_ih.dtype), db[0].astype(bias.dtype),
+            dwhh.T.astype(w_hh.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lstm_layer_fused(x, w_ih, bias, w_hh, reverse: bool = False,
+                     interpret: bool = False):
+    """Fused-projection Pallas LSTM: (T, B, In) inputs + torch-layout
+    (4H, In) W_ih / (4H,) bias / (4H, H) W_hh -> ((T, B, H) hidden states
+    in natural time order, (B, H) final cell state).  Semantics identical
+    to ``lstm_layer(x @ W_ih^T + bias, w_hh, reverse)``."""
+    hs, cs = _run_fwd_fused(x, w_ih, bias, w_hh, reverse, interpret)
+    return hs, (cs[0] if reverse else cs[-1])
+
+
+def _vjp_fwd_fused(x, w_ih, bias, w_hh, reverse, interpret):
+    hs, cs = _run_fwd_fused(x, w_ih, bias, w_hh, reverse, interpret)
+    c_last = cs[0] if reverse else cs[-1]
+    return (hs, c_last), (x, w_ih, bias, w_hh, hs, cs)
+
+
+def _vjp_bwd_fused(reverse, interpret, residuals, cotangents):
+    dhs, dc_last = cotangents
+    x, w_ih, bias, w_hh, hs, cs = residuals
+    return _run_bwd_fused(x, w_ih, bias, w_hh, hs, cs, dhs, dc_last,
+                          reverse, interpret)
+
+
+lstm_layer_fused.defvjp(_vjp_fwd_fused, _vjp_bwd_fused)
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_lstm_layer_fused(mesh, data_axis: str = "data"):
+    """Fused-projection kernel per batch shard under a device mesh (see
+    :func:`sharded_lstm_layer`); dW_ih / db / dW_hh psum over the data
+    axis like any batch-parallel matmul's weight gradients."""
+    from jax.sharding import PartitionSpec as P
+
+    spec_tb = P(None, data_axis, None)
+    spec_b = P(data_axis, None)
+    rep = P()
+
+    def _sm(fn, in_specs, out_specs):
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+    def _fwd(x, w_ih, bias, w_hh, reverse, interpret):
+        return _sm(
+            functools.partial(_run_fwd_fused, reverse=reverse,
+                              interpret=interpret),
+            (spec_tb, rep, rep, rep), (spec_tb, spec_tb),
+        )(x, w_ih, bias, w_hh)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+    def f(x, w_ih, bias, w_hh, reverse: bool = False,
+          interpret: bool = False):
+        hs, cs = _fwd(x, w_ih, bias, w_hh, reverse, interpret)
+        return hs, (cs[0] if reverse else cs[-1])
+
+    def fwd_rule(x, w_ih, bias, w_hh, reverse, interpret):
+        hs, cs = _fwd(x, w_ih, bias, w_hh, reverse, interpret)
+        c_last = cs[0] if reverse else cs[-1]
+        return (hs, c_last), (x, w_ih, bias, w_hh, hs, cs)
+
+    def bwd_rule(reverse, interpret, residuals, cotangents):
+        dhs, dc_last = cotangents
+        x, w_ih, bias, w_hh, hs, cs = residuals
+
+        def local(x_l, hs_l, cs_l, dhs_l, dcl, wi, b, wh):
+            dx, dwih, db, dwhh = _run_bwd_fused(
+                x_l, wi, b, wh, hs_l, cs_l, dhs_l, dcl, reverse, interpret)
+            return (dx, jax.lax.psum(dwih, data_axis),
+                    jax.lax.psum(db, data_axis),
+                    jax.lax.psum(dwhh, data_axis))
+
+        return _sm(
+            local,
+            (spec_tb, spec_tb, spec_tb, spec_tb, spec_b, rep, rep, rep),
+            (spec_tb, rep, rep, rep),
+        )(x, hs, cs, dhs, dc_last, w_ih, bias, w_hh)
+
+    f.defvjp(fwd_rule, bwd_rule)
+    return f
+
+
 @functools.lru_cache(maxsize=None)
 def sharded_lstm_layer(mesh, data_axis: str = "data"):
     """``lstm_layer`` running per-device on the local batch shard.

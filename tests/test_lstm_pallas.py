@@ -185,3 +185,166 @@ def test_pallas_lstm_odd_batch_rows_all_computed():
     hs_s = _scan_lstm(gx, w)
     np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
                                rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------- fused
+def _ref_fused(x, w_ih, bias, w_hh, reverse=False):
+    gx = jnp.einsum("tbc,gc->tbg", x, w_ih,
+                    preferred_element_type=jnp.float32) + bias
+    T, B, G = gx.shape
+    H = G // 4
+    w_hh_t = w_hh.T
+
+    def step(carry, gx_t):
+        h, c = carry
+        gates = gx_t + h @ w_hh_t
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    (h_l, c_l), hs = jax.lax.scan(
+        step, (jnp.zeros((B, H)), jnp.zeros((B, H))),
+        gx.astype(jnp.float32), reverse=reverse)
+    return hs, c_l
+
+
+def _fused_inputs(seed=0, T=14, B=8, In=32, H=16):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(T, B, In) * 0.5, jnp.float32)
+    w_ih = jnp.asarray(rs.randn(4 * H, In) * 0.1, jnp.float32)
+    bias = jnp.asarray(rs.randn(4 * H) * 0.1, jnp.float32)
+    w_hh = jnp.asarray(rs.randn(4 * H, H) * 0.1, jnp.float32)
+    return x, w_ih, bias, w_hh
+
+
+def test_fused_forward_matches_unfused_reference():
+    from mlvae_tpu.ops.lstm_pallas import lstm_layer_fused
+
+    for reverse in (False, True):
+        x, w_ih, bias, w_hh = _fused_inputs()
+        hs_p, c_p = lstm_layer_fused(x, w_ih, bias, w_hh, reverse, True)
+        hs_s, c_s = _ref_fused(x, w_ih, bias, w_hh, reverse)
+        np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gradients_match_reference():
+    """All four cotangents (dX, dW_ih, db, dW_hh) from the in-kernel
+    accumulators must match autodiff through the scan reference, both
+    directions, including the final-cell-state cotangent path."""
+    from mlvae_tpu.ops.lstm_pallas import lstm_layer_fused
+
+    for reverse in (False, True):
+        x, w_ih, bias, w_hh = _fused_inputs(seed=3)
+
+        def loss_p(x, wi, b, wh):
+            hs, c = lstm_layer_fused(x, wi, b, wh, reverse, True)
+            return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(c))
+
+        def loss_s(x, wi, b, wh):
+            hs, c = _ref_fused(x, wi, b, wh, reverse)
+            return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(c))
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, w_ih, bias, w_hh)
+        gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(x, w_ih, bias, w_hh)
+        for name, a, b in zip(("dx", "dw_ih", "db", "dw_hh"), gp, gs):
+            rel = float(jnp.abs(a - b).max()
+                        / jnp.maximum(jnp.abs(b).max(), 1e-8))
+            assert rel < 1e-5, (reverse, name, rel)
+
+
+def test_fused_batch_blocked_accumulators():
+    """B larger than the block cap: dW_ih/db/dW_hh accumulate across batch
+    blocks (zeroed only at the first grid step)."""
+    import mlvae_tpu.ops.lstm_pallas as lp
+
+    old = lp.MAX_B_BLOCK
+    try:
+        lp.MAX_B_BLOCK = 8
+        x, w_ih, bias, w_hh = _fused_inputs(seed=4, B=24)
+
+        def loss_p(x, wi, b, wh):
+            hs, c = lp.lstm_layer_fused(x, wi, b, wh, False, True)
+            return jnp.sum(hs ** 2) + jnp.sum(c)
+
+        def loss_s(x, wi, b, wh):
+            hs, c = _ref_fused(x, wi, b, wh)
+            return jnp.sum(hs ** 2) + jnp.sum(c)
+
+        gp = jax.grad(loss_p, argnums=(1, 2, 3))(x, w_ih, bias, w_hh)
+        gs = jax.grad(loss_s, argnums=(1, 2, 3))(x, w_ih, bias, w_hh)
+        for a, b in zip(gp, gs):
+            rel = float(jnp.abs(a - b).max()
+                        / jnp.maximum(jnp.abs(b).max(), 1e-8))
+            assert rel < 1e-5, rel
+    finally:
+        lp.MAX_B_BLOCK = old
+
+
+def test_fused_bf16_streams():
+    """bf16 x/weights stream through the fused kernel (AMP mode): f32
+    carries keep values close to the f32 reference."""
+    from mlvae_tpu.ops.lstm_pallas import lstm_layer_fused
+
+    x, w_ih, bias, w_hh = _fused_inputs(seed=5)
+    hs_ref, _ = _ref_fused(x, w_ih, bias, w_hh)
+    hs_bf, _ = lstm_layer_fused(x.astype(jnp.bfloat16),
+                                w_ih.astype(jnp.bfloat16), bias,
+                                w_hh.astype(jnp.bfloat16), False, True)
+    assert hs_bf.dtype == jnp.bfloat16
+    err = float(jnp.abs(hs_bf.astype(jnp.float32) - hs_ref).max())
+    assert err < 0.05, err
+
+
+def test_fused_eligibility_budget():
+    from mlvae_tpu.ops.lstm_pallas import fused_eligible
+
+    # bf16 at the flagship sizes fits; f32 at H=512 blows the accumulator
+    # budget; unaligned In never fuses (lane-axis blocks)
+    assert fused_eligible(512, 512, jnp.bfloat16)
+    assert not fused_eligible(512, 512, jnp.float32)
+    assert fused_eligible(256, 256, jnp.float32)
+    assert not fused_eligible(120, 512, jnp.bfloat16)
+    assert not fused_eligible(1024, 512, jnp.bfloat16)
+
+
+def test_fused_dispatch_through_nn_lstm(monkeypatch):
+    """nn.LSTM routes to the fused kernel when the flag + eligibility
+    allow, and its outputs match the scan path bit-close (f32)."""
+    import mlvae_tpu.nn.rnn as rnn
+    import mlvae_tpu.ops.lstm_pallas as lp
+    from mlvae_tpu.nn.rnn import LSTM
+
+    calls = []
+    real = lp.lstm_layer_fused
+
+    def spy(x, w_ih, bias, w_hh, reverse=False, interpret=False):
+        calls.append((x.shape, reverse))
+        return real(x, w_ih, bias, w_hh, reverse, True)  # interpret on CPU
+
+    lstm = LSTM(input_size=256, hidden_size=128, num_layers=2,
+                batch_first=True, bidirectional=True)
+    params = lstm.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 256)) * 0.5
+
+    ref, (h_ref, c_ref) = lstm.apply(params, x)
+
+    monkeypatch.setattr(rnn, "PALLAS_LSTM_FUSED", True)
+    monkeypatch.setattr(rnn, "_pallas_eligible", lambda x, H: True)
+    monkeypatch.setattr(lp, "lstm_layer_fused", spy)
+    out, (h_n, c_n) = lstm.apply(params, x)
+
+    assert len(calls) == 4  # 2 layers x 2 directions, all fused-eligible
+    assert {r for _, r in calls} == {False, True}
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_n), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_n), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-6)

@@ -80,3 +80,46 @@ def test_sharded_pallas_lstm_gradients(reverse):
         rel = float(jnp.abs(a - b).max()
                     / jnp.maximum(jnp.abs(b).max(), 1e-8))
         assert rel < 1e-5, rel
+
+
+def _ref_fused(x, w_ih, bias, w_hh, reverse=False):
+    gx = jnp.einsum("tbc,gc->tbg", x, w_ih,
+                    preferred_element_type=jnp.float32) + bias
+    return _scan_lstm(gx, w_hh, reverse)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sharded_fused_lstm_matches_reference(reverse):
+    """Fused-projection kernel under the DP mesh: per-shard launches with
+    psum'd dW_ih / db / dW_hh must reproduce single-device autodiff."""
+    from mlvae_tpu.ops.lstm_pallas import sharded_lstm_layer_fused
+
+    mesh = make_mesh(8)
+    f = sharded_lstm_layer_fused(mesh, "data")
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(10, 16, 32) * 0.5, jnp.float32)
+    w_ih = jnp.asarray(rs.randn(64, 32) * 0.1, jnp.float32)
+    bias = jnp.asarray(rs.randn(64) * 0.1, jnp.float32)
+    w_hh = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
+
+    hs_p, cl_p = jax.jit(lambda *a: f(*a, reverse, True))(x, w_ih, bias, w_hh)
+    hs_s, cl_s = _ref_fused(x, w_ih, bias, w_hh, reverse)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cl_p), np.asarray(cl_s),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_p(*a):
+        hs, cl = f(*a, reverse, True)
+        return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(cl))
+
+    def loss_s(*a):
+        hs, cl = _ref_fused(*a, reverse)
+        return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(cl))
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3)))(x, w_ih, bias, w_hh)
+    gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(x, w_ih, bias, w_hh)
+    for name, a, b in zip(("dx", "dw_ih", "db", "dw_hh"), gp, gs):
+        rel = float(jnp.abs(a - b).max()
+                    / jnp.maximum(jnp.abs(b).max(), 1e-8))
+        assert rel < 1e-5, (name, rel)

@@ -35,8 +35,10 @@ def main():
     b_hh = jnp.zeros((4 * H,), jnp.float32)
 
     def loss(x, w_ih, w_hh, b_ih):
-        z = jnp.zeros((B, H), x.dtype)
-        hs, h_last, c_last = _lstm_layer(x, z, z, w_ih, w_hh, b_ih, b_hh)
+        # h0/c0 must be None: explicit zero states route to the lax.scan
+        # fallback and the Pallas kernel this tool exists to time never runs
+        hs, h_last, c_last = _lstm_layer(x, None, None, w_ih, w_hh, b_ih,
+                                         b_hh)
         return jnp.sum(hs * hs) + jnp.sum(c_last)
 
     grad = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))
