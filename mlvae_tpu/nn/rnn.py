@@ -135,16 +135,32 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     H = w_hh.shape[1]
 
     if h0 is None and c0 is None and _pallas_eligible(x, H):
-        from mlvae_tpu.ops.lstm_pallas import fused_eligible
+        from mlvae_tpu.ops.lstm_pallas import (fused_eligible,
+                                               semifused_eligible)
+        fused = None
         if PALLAS_LSTM_FUSED and fused_eligible(x.shape[-1], H, x.dtype):
-            # fused variant: the input projection moves INTO the kernel,
-            # so the (T,B,4H) gates tensor never exists in HBM
+            # fully fused: the input projection moves INTO the kernel, so
+            # the (T,B,4H) gates tensor never exists in HBM; backward
+            # accumulates dX/dW_ih/db in-kernel too
             if PALLAS_LSTM_MESH is not None:
                 from mlvae_tpu.ops.lstm_pallas import sharded_lstm_layer_fused
                 fused = sharded_lstm_layer_fused(PALLAS_LSTM_MESH,
                                                  PALLAS_LSTM_DATA_AXIS)
             else:
                 from mlvae_tpu.ops.lstm_pallas import lstm_layer_fused as fused
+        elif PALLAS_LSTM_FUSED and semifused_eligible(x.shape[-1], H,
+                                                      x.dtype):
+            # half-fused (wide-input layers, e.g. the bi-decoder's In=2H):
+            # fused forward; backward streams x and emits dgx for XLA
+            if PALLAS_LSTM_MESH is not None:
+                from mlvae_tpu.ops.lstm_pallas import \
+                    sharded_lstm_layer_semifused
+                fused = sharded_lstm_layer_semifused(PALLAS_LSTM_MESH,
+                                                     PALLAS_LSTM_DATA_AXIS)
+            else:
+                from mlvae_tpu.ops.lstm_pallas import \
+                    lstm_layer_semifused as fused
+        if fused is not None:
             bias = b_ih + b_hh
             if not hasattr(bias, "shape") or bias.shape != (4 * H,):
                 bias = jnp.zeros((4 * H,), jnp.float32) + bias

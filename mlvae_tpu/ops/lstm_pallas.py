@@ -523,6 +523,215 @@ def _run_bwd_fused(x, w_ih, bias, w_hh, hs, cs, dhs, dc_last,
             dwhh.T.astype(w_hh.dtype))
 
 
+def _bwd_semi_kernel(x_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
+                     dc_last_ref, wih_t_ref, bias_ref, whh_t_ref,
+                     dgx_ref, dwhh_ref, dh_scr, dc_scr, *, H: int):
+    """Half-fused backward: gates recomputed from the streamed x block (no
+    gx residual in HBM), but dgates streams OUT for XLA's dX/dW_ih/db
+    matmuls — used when the full-fused dW_ih accumulator would blow the
+    scoped-VMEM budget (the In=2H bi-decoder layers)."""
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = dc_last_ref[:]
+
+    @pl.when((r == 0) & (b == 0))
+    def _():
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+
+    valid = (r != pl.num_programs(1) - 1).astype(jnp.float32)
+    h_prev = hs_prev_ref[0] * valid.astype(hs_prev_ref.dtype)
+    gates = (jnp.dot(x_ref[0], wih_t_ref[:],
+                     preferred_element_type=jnp.float32)
+             + bias_ref[:]
+             + jnp.dot(h_prev.astype(whh_t_ref.dtype), whh_t_ref[:],
+                       preferred_element_type=jnp.float32))
+    i = _sigmoid(gates[:, 0 * H:1 * H])
+    f = _sigmoid(gates[:, 1 * H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = _sigmoid(gates[:, 3 * H:4 * H])
+    c_t = cs_ref[0]
+    c_prev = cs_prev_ref[0] * valid
+
+    dh = dhs_ref[0].astype(jnp.float32) + dh_scr[:]
+    tanh_c = jnp.tanh(c_t)
+    do = dh * tanh_c
+    dc = dc_scr[:] + dh * o * (1.0 - tanh_c * tanh_c)
+    di = dc * g
+    dg = dc * i
+    df = dc * c_prev
+    dc_scr[:] = dc * f
+
+    dgates = jnp.concatenate([
+        di * i * (1.0 - i),
+        df * f * (1.0 - f),
+        dg * (1.0 - g * g),
+        do * o * (1.0 - o),
+    ], axis=1)
+    dgx_ref[0] = dgates.astype(dgx_ref.dtype)
+    dgates_w = dgates.astype(whh_t_ref.dtype)
+    dh_scr[:] = jax.lax.dot_general(
+        dgates_w, whh_t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwhh_ref[:] = dwhh_ref[:] + jnp.dot(
+        h_prev.astype(whh_t_ref.dtype).T, dgates_w,
+        preferred_element_type=jnp.float32)
+
+
+def semifused_eligible(In: int, H: int, dtype) -> bool:
+    """Half-fused dispatch predicate: lane-aligned In, and the backward
+    residents WITHOUT the dW_ih accumulator within budget."""
+    if In % 128 != 0 or H % 128 != 0:
+        return False
+    wbytes = jnp.dtype(dtype).itemsize
+    resident = (In + H) * 4 * H * wbytes + H * 4 * H * 4
+    return resident <= FUSED_RESIDENT_BUDGET
+
+
+def _run_bwd_semi(x, w_ih, bias, w_hh, hs, cs, dhs, dc_last,
+                  reverse: bool, interpret: bool):
+    T, B, In = x.shape
+    H = w_hh.shape[1]
+    G = 4 * H
+    BB = _b_block_bwd(B, x.dtype)
+    tm = _time_map(T, not reverse)
+    if reverse:
+        tm_prev = lambda b, r: (jnp.minimum(r + 1, T - 1), b, 0)
+    else:
+        tm_prev = lambda b, r: (jnp.maximum(T - 2 - r, 0), b, 0)
+    const = lambda b, r: (0, 0)
+    dgx, dwhh = pl.pallas_call(
+        functools.partial(_bwd_semi_kernel, H=H),
+        grid=(B // BB, T),
+        in_specs=[
+            pl.BlockSpec((1, BB, In), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), tm_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), tm_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, H), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((In, G), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BB, G), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, G), x.dtype),
+            jax.ShapeDtypeStruct((H, G), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, cs, cs, hs, dhs, dc_last,
+      w_ih.T, bias.astype(jnp.float32).reshape(1, -1), w_hh.T)
+    return dgx, dwhh.T.astype(w_hh.dtype)
+
+
+def _semi_input_grads(x, w_ih, bias, dgx):
+    """XLA side of the half-fused backward: dX / dW_ih / db from the
+    streamed dgates (the same matmuls the unfused path runs)."""
+    dx = jnp.einsum("tbg,gc->tbc", dgx, w_ih,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    dwih = jnp.einsum("tbg,tbc->gc", dgx, x,
+                      preferred_element_type=jnp.float32).astype(w_ih.dtype)
+    db = jnp.sum(dgx, axis=(0, 1), dtype=jnp.float32).astype(bias.dtype)
+    return dx, dwih, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lstm_layer_semifused(x, w_ih, bias, w_hh, reverse: bool = False,
+                         interpret: bool = False):
+    """Half-fused Pallas LSTM: fused forward (no gx in HBM) + a backward
+    that streams x, recomputes the gates with the resident W_ih^T, and
+    emits dgx for XLA's dX/dW_ih/db matmuls.  Same signature/semantics as
+    :func:`lstm_layer_fused`; used where that kernel's f32 dW_ih
+    accumulator would not fit in VMEM."""
+    hs, cs = _run_fwd_fused(x, w_ih, bias, w_hh, reverse, interpret)
+    return hs, (cs[0] if reverse else cs[-1])
+
+
+def _vjp_fwd_semi(x, w_ih, bias, w_hh, reverse, interpret):
+    hs, cs = _run_fwd_fused(x, w_ih, bias, w_hh, reverse, interpret)
+    c_last = cs[0] if reverse else cs[-1]
+    return (hs, c_last), (x, w_ih, bias, w_hh, hs, cs)
+
+
+def _vjp_bwd_semi(reverse, interpret, residuals, cotangents):
+    dhs, dc_last = cotangents
+    x, w_ih, bias, w_hh, hs, cs = residuals
+    dgx, dwhh = _run_bwd_semi(x, w_ih, bias, w_hh, hs, cs, dhs, dc_last,
+                              reverse, interpret)
+    dx, dwih, db = _semi_input_grads(x, w_ih, bias, dgx)
+    return dx, dwih, db, dwhh
+
+
+lstm_layer_semifused.defvjp(_vjp_fwd_semi, _vjp_bwd_semi)
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_lstm_layer_semifused(mesh, data_axis: str = "data"):
+    """Half-fused kernel per batch shard: the fwd/bwd kernels shard_map
+    over the data axis (dW_hh psum'd in-rule); the dX/dW_ih/db matmuls
+    run on the batch-sharded dgx outside shard_map, where GSPMD inserts
+    the same psum it would for any batch-parallel weight gradient."""
+    from jax.sharding import PartitionSpec as P
+
+    spec_tb = P(None, data_axis, None)
+    spec_b = P(data_axis, None)
+    rep = P()
+
+    def _sm(fn, in_specs, out_specs):
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+    def _fwd(x, w_ih, bias, w_hh, reverse, interpret):
+        return _sm(
+            functools.partial(_run_fwd_fused, reverse=reverse,
+                              interpret=interpret),
+            (spec_tb, rep, rep, rep), (spec_tb, spec_tb),
+        )(x, w_ih, bias, w_hh)
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+    def f(x, w_ih, bias, w_hh, reverse: bool = False,
+          interpret: bool = False):
+        hs, cs = _fwd(x, w_ih, bias, w_hh, reverse, interpret)
+        return hs, (cs[0] if reverse else cs[-1])
+
+    def fwd_rule(x, w_ih, bias, w_hh, reverse, interpret):
+        hs, cs = _fwd(x, w_ih, bias, w_hh, reverse, interpret)
+        c_last = cs[0] if reverse else cs[-1]
+        return (hs, c_last), (x, w_ih, bias, w_hh, hs, cs)
+
+    def bwd_rule(reverse, interpret, residuals, cotangents):
+        dhs, dc_last = cotangents
+        x, w_ih, bias, w_hh, hs, cs = residuals
+
+        def local(x_l, hs_l, cs_l, dhs_l, dcl, wi, b, wh):
+            dgx, dwhh = _run_bwd_semi(x_l, wi, b, wh, hs_l, cs_l, dhs_l,
+                                      dcl, reverse, interpret)
+            return dgx, jax.lax.psum(dwhh, data_axis)
+
+        dgx, dwhh = _sm(
+            local,
+            (spec_tb, spec_tb, spec_tb, spec_tb, spec_b, rep, rep, rep),
+            (spec_tb, rep),
+        )(x, hs, cs, dhs, dc_last, w_ih, bias, w_hh)
+        dx, dwih, db = _semi_input_grads(x, w_ih, bias, dgx)
+        return dx, dwih, db, dwhh
+
+    f.defvjp(fwd_rule, bwd_rule)
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def lstm_layer_fused(x, w_ih, bias, w_hh, reverse: bool = False,
                      interpret: bool = False):

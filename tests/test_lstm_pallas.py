@@ -348,3 +348,41 @@ def test_fused_dispatch_through_nn_lstm(monkeypatch):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_n), np.asarray(c_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_semifused_matches_reference():
+    """Half-fused variant (fused fwd + dgx-emitting bwd): values and all
+    four cotangents match scan autodiff, both directions."""
+    from mlvae_tpu.ops.lstm_pallas import lstm_layer_semifused
+
+    for reverse in (False, True):
+        x, w_ih, bias, w_hh = _fused_inputs(seed=9, In=64)
+
+        hs_p, c_p = lstm_layer_semifused(x, w_ih, bias, w_hh, reverse, True)
+        hs_s, c_s = _ref_fused(x, w_ih, bias, w_hh, reverse)
+        np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_s),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss_p(x, wi, b, wh):
+            hs, c = lstm_layer_semifused(x, wi, b, wh, reverse, True)
+            return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(c))
+
+        def loss_s(x, wi, b, wh):
+            hs, c = _ref_fused(x, wi, b, wh, reverse)
+            return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(c))
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x, w_ih, bias, w_hh)
+        gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(x, w_ih, bias, w_hh)
+        for name, a, b in zip(("dx", "dw_ih", "db", "dw_hh"), gp, gs):
+            rel = float(jnp.abs(a - b).max()
+                        / jnp.maximum(jnp.abs(b).max(), 1e-8))
+            assert rel < 1e-5, (reverse, name, rel)
+
+
+def test_semifused_eligibility_covers_wide_inputs():
+    from mlvae_tpu.ops.lstm_pallas import fused_eligible, semifused_eligible
+
+    # the bi-decoder layer-2 shape: full-fused over budget, half-fused fits
+    assert not fused_eligible(1024, 512, jnp.bfloat16)
+    assert semifused_eligible(1024, 512, jnp.bfloat16)
+    assert not semifused_eligible(120, 512, jnp.bfloat16)

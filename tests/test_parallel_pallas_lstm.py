@@ -123,3 +123,32 @@ def test_sharded_fused_lstm_matches_reference(reverse):
         rel = float(jnp.abs(a - b).max()
                     / jnp.maximum(jnp.abs(b).max(), 1e-8))
         assert rel < 1e-5, (name, rel)
+
+
+def test_sharded_semifused_lstm_matches_reference():
+    """Half-fused variant under the DP mesh: sharded kernels + GSPMD
+    dX/dW_ih/db einsums reproduce single-device autodiff."""
+    from mlvae_tpu.ops.lstm_pallas import sharded_lstm_layer_semifused
+
+    mesh = make_mesh(8)
+    f = sharded_lstm_layer_semifused(mesh, "data")
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(10, 16, 32) * 0.5, jnp.float32)
+    w_ih = jnp.asarray(rs.randn(64, 32) * 0.1, jnp.float32)
+    bias = jnp.asarray(rs.randn(64) * 0.1, jnp.float32)
+    w_hh = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
+
+    def loss_p(*a):
+        hs, cl = f(*a, False, True)
+        return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(cl))
+
+    def loss_s(*a):
+        hs, cl = _ref_fused(*a)
+        return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(cl))
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3)))(x, w_ih, bias, w_hh)
+    gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(x, w_ih, bias, w_hh)
+    for name, a, b in zip(("dx", "dw_ih", "db", "dw_hh"), gp, gs):
+        rel = float(jnp.abs(a - b).max()
+                    / jnp.maximum(jnp.abs(b).max(), 1e-8))
+        assert rel < 1e-5, (name, rel)
