@@ -137,8 +137,16 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
     if h0 is None and c0 is None and _pallas_eligible(x, H):
         from mlvae_tpu.ops.lstm_pallas import (fused_eligible,
                                                semifused_eligible)
+        # The fused kernels put the input-feature dim on the 128-wide lane
+        # axis; unaligned inputs (fbank's 120, the decoder's latent 32)
+        # zero-pad up to the lane tile — the padded x copy costs ~In/16H of
+        # the (T,B,4H) gates traffic the fused path removes, and the padded
+        # W_ih columns see zero activations so dW_ih rows come back zero
+        # (sliced off below via the pad's own VJP).
+        In = x.shape[-1]
+        In_pad = -(-In // 128) * 128
         fused = None
-        if PALLAS_LSTM_FUSED and fused_eligible(x.shape[-1], H, x.dtype):
+        if PALLAS_LSTM_FUSED and fused_eligible(In_pad, H, x.dtype):
             # fully fused: the input projection moves INTO the kernel, so
             # the (T,B,4H) gates tensor never exists in HBM; backward
             # accumulates dX/dW_ih/db in-kernel too
@@ -148,8 +156,7 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
                                                  PALLAS_LSTM_DATA_AXIS)
             else:
                 from mlvae_tpu.ops.lstm_pallas import lstm_layer_fused as fused
-        elif PALLAS_LSTM_FUSED and semifused_eligible(x.shape[-1], H,
-                                                      x.dtype):
+        elif PALLAS_LSTM_FUSED and semifused_eligible(In_pad, H, x.dtype):
             # half-fused (wide-input layers, e.g. the bi-decoder's In=2H):
             # fused forward; backward streams x and emits dgx for XLA
             if PALLAS_LSTM_MESH is not None:
@@ -164,7 +171,11 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
             bias = b_ih + b_hh
             if not hasattr(bias, "shape") or bias.shape != (4 * H,):
                 bias = jnp.zeros((4 * H,), jnp.float32) + bias
-            hs, c_last = fused(x, w_ih.astype(x.dtype),
+            x_k, w_ih_k = x, w_ih
+            if In_pad != In:
+                x_k = jnp.pad(x, ((0, 0), (0, 0), (0, In_pad - In)))
+                w_ih_k = jnp.pad(w_ih, ((0, 0), (0, In_pad - In)))
+            hs, c_last = fused(x_k, w_ih_k.astype(x.dtype),
                                bias.astype(jnp.float32),
                                w_hh.astype(x.dtype), reverse)
             h_last = hs[0] if reverse else hs[-1]

@@ -386,3 +386,41 @@ def test_semifused_eligibility_covers_wide_inputs():
     assert not fused_eligible(1024, 512, jnp.bfloat16)
     assert semifused_eligible(1024, 512, jnp.bfloat16)
     assert not semifused_eligible(120, 512, jnp.bfloat16)
+
+
+def test_fused_dispatch_pads_unaligned_inputs(monkeypatch):
+    """In=120-style layers zero-pad to the lane tile before the fused
+    kernel; outputs and ALL grads (incl. w_ih, whose padded columns must
+    come back zero-sliced) match the scan path."""
+    import mlvae_tpu.nn.rnn as rnn
+    import mlvae_tpu.ops.lstm_pallas as lp
+    from mlvae_tpu.nn.rnn import LSTM
+
+    shapes = []
+    real = lp.lstm_layer_fused
+
+    def spy(x, w_ih, bias, w_hh, reverse=False, interpret=False):
+        shapes.append(x.shape)
+        return real(x, w_ih, bias, w_hh, reverse, True)
+
+    lstm = LSTM(input_size=120, hidden_size=128, num_layers=1,
+                batch_first=True)
+    params = lstm.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 120)) * 0.5
+
+    def loss(p, x):
+        out, _ = lstm.apply(p, x)
+        return jnp.sum(out ** 2)
+
+    ref_v, ref_g = jax.value_and_grad(loss)(params, x)
+
+    monkeypatch.setattr(rnn, "PALLAS_LSTM_FUSED", True)
+    monkeypatch.setattr(rnn, "_pallas_eligible", lambda x, H: True)
+    monkeypatch.setattr(lp, "lstm_layer_fused", spy)
+    v, g = jax.value_and_grad(loss)(params, x)
+
+    assert shapes == [(10, 4, 128)]  # padded to the lane tile
+    np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-5)
+    for k in ref_g:
+        np.testing.assert_allclose(np.asarray(g[k]), np.asarray(ref_g[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
