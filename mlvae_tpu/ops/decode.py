@@ -37,6 +37,13 @@ import numpy as np
 LOG_EPS = 1e-5
 NEG_INF = -1e30  # avoids -inf arithmetic inside scans
 
+# Pallas decode kernels (ops/decode_pallas.py): the two lax.scans' per-step
+# while-loop dispatch dominates the decode wall time at these tiny carry
+# sizes.  Opt-in until hardware-validated (the scan path stays the default
+# and the parity oracle).
+import os as _os
+PALLAS_DECODE_ENABLED = _os.environ.get("MLVAE_PALLAS_DECODE", "0") == "1"
+
 
 def clamped_log(x):
     return jnp.log(jnp.maximum(x, LOG_EPS))
@@ -85,9 +92,15 @@ def md_viterbi_batch(
     BCE-trains ``boundary_v`` against boundary indicators), but it is
     deliberate parity with the reference, whose hold transition scores
     ``log_p_b_i[t, 0]`` over ``p_b = stack([boundary_v, 1-boundary_v])``
-    (reference ``decode_utils.py:437-465``); all three implementations here
-    (device scan, numpy oracle, C++ decoder) keep that exact convention.
+    (reference ``decode_utils.py:437-465``); all implementations here
+    (device scan, Pallas kernels, numpy oracle, C++ decoder) keep that
+    exact convention.
     """
+    if (PALLAS_DECODE_ENABLED and log_p_yx.shape[0] % 8 == 0
+            and jax.default_backend() == "tpu"):
+        from mlvae_tpu.ops.decode_pallas import md_viterbi_batch_pallas
+        return md_viterbi_batch_pallas(log_p_yx, log_p_y, y, log_p_b,
+                                       log_p_pi, t_lens, l_lens, weight)
     B, T, N, _ = log_p_yx.shape
     L = y.shape[1]
     y = y.astype(jnp.int32)
