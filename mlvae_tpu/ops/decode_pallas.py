@@ -31,13 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
+from mlvae_tpu.ops.decode import NEG_INF
 
 
 def _fwd_kernel(e0_ref, e1_ref, lpb0_ref, lpb1_ref, lpi0_ref, lpi1_ref,
                 tlen_ref, shift_ref,
                 path0_ref, path1_ref, dpf0_ref, dpf1_ref,
-                dp0_scr, dp1_scr, *, L: int, weight: float):
+                dp0_scr, dp1_scr, *, L: int):
     t = pl.program_id(1)
 
     e0 = e0_ref[0]            # (BB, L)
@@ -50,11 +50,13 @@ def _fwd_kernel(e0_ref, e1_ref, lpb0_ref, lpb1_ref, lpi0_ref, lpi1_ref,
     @pl.when(t == 0)
     def _():
         # dp[0, l, beta] = w*log_pi[0, beta] + e[0, 0, beta] at l == 0,
-        # NEG_INF elsewhere (decode.md_viterbi_batch dp0)
+        # NEG_INF elsewhere (decode.md_viterbi_batch dp0); the weight is
+        # already folded into lpi by the wrapper (it can be a tracer —
+        # md_viterbi_batch is jitted — so it cannot be a kernel constant)
         l_is0 = (jax.lax.broadcasted_iota(jnp.int32, (dp0_scr.shape[0], L),
                                           1) == 0)
-        dp0_scr[:] = jnp.where(l_is0, weight * lpi0 + e0, NEG_INF)
-        dp1_scr[:] = jnp.where(l_is0, weight * lpi1 + e1, NEG_INF)
+        dp0_scr[:] = jnp.where(l_is0, lpi0 + e0, NEG_INF)
+        dp1_scr[:] = jnp.where(l_is0, lpi1 + e1, NEG_INF)
         path0_ref[0] = jnp.zeros_like(path0_ref[0])
         path1_ref[0] = jnp.zeros_like(path1_ref[0])
 
@@ -66,15 +68,20 @@ def _fwd_kernel(e0_ref, e1_ref, lpb0_ref, lpb1_ref, lpi0_ref, lpi1_ref,
         mask0 = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, dp0.shape, 1) == 0,
             NEG_INF, 0.0)
+        # HIGHEST keeps the f32 lattice values un-rounded through the MXU
+        # (the shift matrix is one-hot, so the dot is then exact), same
+        # argument as the emission einsum in ops/decode
         prev0 = jnp.dot(dp0, shift_ref[:],
-                        preferred_element_type=jnp.float32) + mask0
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) + mask0
         prev1 = jnp.dot(dp1, shift_ref[:],
-                        preferred_element_type=jnp.float32) + mask0
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) + mask0
 
         hold0 = dp0 + lpb0 + e0
         hold1 = dp1 + lpb0 + e1
-        sw0 = lpb1 + weight * lpi0 + e0   # switch into beta=0
-        sw1 = lpb1 + weight * lpi1 + e1   # switch into beta=1
+        sw0 = lpb1 + lpi0 + e0   # switch into beta=0 (lpi pre-weighted)
+        sw1 = lpb1 + lpi1 + e1   # switch into beta=1
         fc0 = prev0 + sw0   # from-correct
         fc1 = prev0 + sw1
         fi0 = prev1 + sw0   # from-incorrect
@@ -104,7 +111,6 @@ def _fwd_kernel(e0_ref, e1_ref, lpb0_ref, lpb1_ref, lpi0_ref, lpi1_ref,
 def _bwd_kernel(path0_ref, path1_ref, lastl_ref, beta0_ref,
                 bflag_ref, mdemit_ref, plvl_ref,
                 l_scr, beta_scr, md_scr, *, L: int):
-    b = pl.program_id(0)
     r = pl.program_id(1)   # r = 0 .. T-2, walking t = T-1 .. 1
 
     @pl.when(r == 0)
@@ -171,7 +177,9 @@ def md_viterbi_batch_pallas(
     e_t = jnp.moveaxis(e, 1, 0)                   # (T, B, L, 2)
     e0, e1 = e_t[..., 0], e_t[..., 1]             # (T, B, L)
     lpb_t = jnp.moveaxis(log_p_b, 1, 0)           # (T, B, 2)
-    lpi_t = jnp.moveaxis(log_p_pi, 1, 0)
+    # weight scales every lpi use in the recurrence and may be a tracer
+    # (md_viterbi_batch is jitted): fold it in here, outside the kernel
+    lpi_t = jnp.moveaxis(log_p_pi, 1, 0) * jnp.asarray(weight, jnp.float32)
     lpb0, lpb1 = lpb_t[..., 0:1], lpb_t[..., 1:2]  # (T, B, 1)
     lpi0, lpi1 = lpi_t[..., 0:1], lpi_t[..., 1:2]
     tlen_col = t_lens.astype(jnp.float32).reshape(B, 1)
@@ -179,27 +187,26 @@ def md_viterbi_batch_pallas(
     shift = jnp.eye(L, k=1, dtype=jnp.float32)    # dp @ shift -> dp[l-1]
 
     BB = _bb(B)
-    tm3 = lambda b, t: (t, b, 0)
-    tm2 = lambda b, t: (t, b, 0)
-    const2 = lambda b, t: (b, 0)
+    tm = lambda b, t: (t, b, 0)       # time-stepped blocks, (T, BB, lanes)
+    const2 = lambda b, t: (b, 0)      # per-batch-block constant blocks
 
     path0, path1, dpf0, dpf1 = pl.pallas_call(
-        functools.partial(_fwd_kernel, L=L, weight=float(weight)),
+        functools.partial(_fwd_kernel, L=L),
         grid=(B // BB, T),
         in_specs=[
-            pl.BlockSpec((1, BB, L), tm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, L), tm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, 1), tm2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, 1), tm2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, 1), tm2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, 1), tm2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, L), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, L), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), tm, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, 1), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, L), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BB, L), tm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, L), tm3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, L), tm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, L), tm, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, L), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, L), const2, memory_space=pltpu.VMEM),
         ],
@@ -232,20 +239,19 @@ def md_viterbi_batch_pallas(
 
     # backtrace over t = T-1 .. 1 (grid r = t reversed); paths[0] is the
     # t=0 slot the forward kernel zero-filled — skip it via the index maps
-    tm_rev3 = lambda b, r: (T - 1 - r, b, 0)
-    tm_rev2 = lambda b, r: (T - 1 - r, b, 0)
+    tm_rev = lambda b, r: (T - 1 - r, b, 0)
     bflags, mdemits, plvl_f = pl.pallas_call(
         functools.partial(_bwd_kernel, L=L),
         grid=(B // BB, T - 1),
         in_specs=[
-            pl.BlockSpec((1, BB, L), tm_rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, L), tm_rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, L), tm_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, L), tm_rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, 1), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, 1), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BB, 1), tm_rev2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, 1), tm_rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), tm_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), tm_rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, L), const2, memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -64,6 +64,27 @@ def test_pallas_decode_vs_numpy_oracle():
         np.testing.assert_array_equal(plvl[i, :L_i], p_np)
 
 
+def test_pallas_decode_jittable_with_traced_weight():
+    """The production dispatch path reaches the kernel from inside the
+    jitted ``md_viterbi_batch``, where ``weight`` is a tracer — the kernel
+    wrapper must not require it to be concrete (regression: a
+    ``float(weight)`` kernel constant raised ConcretizationTypeError)."""
+    import functools
+    import jax
+
+    rs = np.random.RandomState(5)
+    prob = _random_problem(rs, B=4, T=16, N=5, Lmax=4)
+    args = [jnp.asarray(a) for a in prob[:5]]
+    t_lens, l_lens = jnp.asarray(prob[5]), jnp.asarray(prob[6])
+    jit_pallas = jax.jit(
+        functools.partial(md_viterbi_batch_pallas, interpret=True))
+    got = jit_pallas(*args, t_lens, l_lens, jnp.float32(0.7))  # traced w
+    ref = dec.md_viterbi_batch(*args, t_lens, l_lens, 0.7)
+    for name, a, b in zip(("boundary", "flvl", "plvl"), ref, got):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
+                                      err_msg=name)
+
+
 def test_pallas_decode_batch_blocking():
     """B > 128 exercises multi-batch-block grids (per-block carries and
     per-block constant-indexed output slots)."""

@@ -62,6 +62,10 @@ def time_full_step(pallas: bool, iters: int = 20) -> float:
     from mlvae_tpu.training.brain import Stage
 
     dec.PALLAS_DECODE_ENABLED = pallas
+    # the dispatch flag is read at trace time inside the jitted
+    # md_viterbi_batch; its cached jaxpr (keyed on avals only) would make
+    # the second arm silently reuse the first arm's decode path
+    jax.clear_caches()
     B, T, L = 128, 160, 8
     model = build_md_vae(batch_size=B)
     model.auto_mix_prec = True
@@ -92,6 +96,9 @@ def main() -> None:
     out: dict = {"platform": None}
     try:
         out["platform"] = jax.devices()[0].platform
+        # force the scan path for the scan arm regardless of the ambient
+        # MLVAE_PALLAS_DECODE (md_viterbi_batch dispatches on this flag)
+        dec.PALLAS_DECODE_ENABLED = False
         args = _problem()
         ms_scan = time_decode(dec.md_viterbi_batch, args)
         ms_pall = time_decode(md_viterbi_batch_pallas, args)
