@@ -37,6 +37,53 @@ def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
+def _gate_acts(gates, H: int):
+    """(i, f, g, o) activations from the (BB, 4H) f32 pre-activations —
+    the one definition of the gate order/nonlinearity every kernel uses."""
+    return (_sigmoid(gates[:, 0 * H:1 * H]),
+            _sigmoid(gates[:, 1 * H:2 * H]),
+            jnp.tanh(gates[:, 2 * H:3 * H]),
+            _sigmoid(gates[:, 3 * H:4 * H]))
+
+
+def _bptt_dgates(gates, c_t, c_prev, dh, dc_in, H: int):
+    """Shared BPTT step math for all backward kernels: pre-activation
+    cotangents (f32) and the cell cotangent to carry to the previous step,
+    from the recomputed gates and the saved cell trajectory."""
+    i, f, g, o = _gate_acts(gates, H)
+    tanh_c = jnp.tanh(c_t)
+    do = dh * tanh_c
+    dc = dc_in + dh * o * (1.0 - tanh_c * tanh_c)
+    dgates = jnp.concatenate([
+        dc * g * i * (1.0 - i),
+        dc * c_prev * f * (1.0 - f),
+        dc * i * (1.0 - g * g),
+        do * o * (1.0 - o),
+    ], axis=1)  # (BB, 4H) f32
+    return dgates, dc * f
+
+
+def _recompute_fused_gates(x_t, h_prev, wih_t_ref, bias_ref, whh_t_ref):
+    """Fused-path pre-activation recompute: both projections as MXU dots
+    against the VMEM-resident transposed weights (f32 accumulation)."""
+    return (jnp.dot(x_t, wih_t_ref[:], preferred_element_type=jnp.float32)
+            + bias_ref[:]
+            + jnp.dot(h_prev.astype(whh_t_ref.dtype), whh_t_ref[:],
+                      preferred_element_type=jnp.float32))
+
+
+def _bwd_recurrent_grads(dgates_w, h_prev, whh_t_ref, dh_scr, dwhh_ref):
+    """Shared backward tail: dh for the previous step (into the scratch
+    carry) and the f32 dW_hh accumulation in its constant-indexed output
+    block; MXU dots in the weight dtype with f32 accumulation."""
+    dh_scr[:] = jax.lax.dot_general(
+        dgates_w, whh_t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwhh_ref[:] = dwhh_ref[:] + jnp.dot(
+        h_prev.astype(whh_t_ref.dtype).T, dgates_w,
+        preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref,
                 h_scr, c_scr, *, H: int):
     t = pl.program_id(1)  # time is the INNER grid dim; batch blocks outer
@@ -56,10 +103,7 @@ def _fwd_kernel(gx_ref, whh_t_ref, hs_ref, cs_ref,
     gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
         h.astype(whh_t_ref.dtype), whh_t_ref[:],
         preferred_element_type=jnp.float32)
-    i = _sigmoid(gates[:, 0 * H:1 * H])
-    f = _sigmoid(gates[:, 1 * H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = _sigmoid(gates[:, 3 * H:4 * H])
+    i, f, g, o = _gate_acts(gates, H)
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     hs_ref[0] = h_new.astype(hs_ref.dtype)
@@ -100,39 +144,17 @@ def _bwd_kernel(gx_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     gates = gx_ref[0].astype(jnp.float32) + jnp.dot(
         h_prev.astype(whh_t_ref.dtype), whh_t_ref[:],
         preferred_element_type=jnp.float32)
-    i = _sigmoid(gates[:, 0 * H:1 * H])
-    f = _sigmoid(gates[:, 1 * H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = _sigmoid(gates[:, 3 * H:4 * H])
-    c_t = cs_ref[0]
     c_prev = cs_prev_ref[0] * valid   # zeros at the first processed step
 
     dh = dhs_ref[0].astype(jnp.float32) + dh_scr[:]
-    tanh_c = jnp.tanh(c_t)
-    do = dh * tanh_c
-    dc = dc_scr[:] + dh * o * (1.0 - tanh_c * tanh_c)
-    di = dc * g
-    dg = dc * i
-    df = dc * c_prev
-    dc_scr[:] = dc * f
-
-    dgates = jnp.concatenate([
-        di * i * (1.0 - i),
-        df * f * (1.0 - f),
-        dg * (1.0 - g * g),
-        do * o * (1.0 - o),
-    ], axis=1)  # (B, 4H) f32; streamed out in the gx dtype (bf16 under AMP)
+    dgates, dc_next = _bptt_dgates(gates, cs_ref[0], c_prev, dh,
+                                   dc_scr[:], H)
+    dc_scr[:] = dc_next
+    # dgates streams out in the gx dtype (bf16 under AMP); MXU dots in the
+    # weight dtype with f32 accumulation — no transposed weight copy
     dgx_ref[0] = dgates.astype(dgx_ref.dtype)
-    # MXU dots in the weight dtype (bf16 under AMP), f32 accumulation;
-    # contract the gate dim of both operands — no transposed weight copy
-    dgates_w = dgates.astype(whh_t_ref.dtype)
-    dh_scr[:] = jax.lax.dot_general(
-        dgates_w, whh_t_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwhh_ref[:] = dwhh_ref[:] + jnp.dot(
-        h_prev.astype(whh_t_ref.dtype).T, dgates_w,
-        preferred_element_type=jnp.float32
-    )
+    _bwd_recurrent_grads(dgates.astype(whh_t_ref.dtype), h_prev,
+                         whh_t_ref, dh_scr, dwhh_ref)
 
 
 MAX_B_BLOCK = 64  # VMEM budget per batch block (v5e: 128 fits only when the
@@ -335,15 +357,9 @@ def _fwd_fused_kernel(x_ref, wih_t_ref, bias_ref, whh_t_ref, hs_ref, cs_ref,
     c = c_scr[:]
     # both projections as bf16/f32 MXU passes with f32 accumulation; the
     # bias was already folded to f32
-    gates = (jnp.dot(x_ref[0], wih_t_ref[:],
-                     preferred_element_type=jnp.float32)
-             + bias_ref[:]
-             + jnp.dot(h.astype(whh_t_ref.dtype), whh_t_ref[:],
-                       preferred_element_type=jnp.float32))
-    i = _sigmoid(gates[:, 0 * H:1 * H])
-    f = _sigmoid(gates[:, 1 * H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = _sigmoid(gates[:, 3 * H:4 * H])
+    gates = _recompute_fused_gates(x_ref[0], h, wih_t_ref, bias_ref,
+                                   whh_t_ref)
+    i, f, g, o = _gate_acts(gates, H)
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     hs_ref[0] = h_new.astype(hs_ref.dtype)
@@ -377,32 +393,14 @@ def _bwd_fused_kernel(x_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     # reading a (T,B,4H) residual from HBM
     h_prev = hs_prev_ref[0] * valid.astype(hs_prev_ref.dtype)
     x_t = x_ref[0]
-    gates = (jnp.dot(x_t, wih_t_ref[:], preferred_element_type=jnp.float32)
-             + bias_ref[:]
-             + jnp.dot(h_prev.astype(whh_t_ref.dtype), whh_t_ref[:],
-                       preferred_element_type=jnp.float32))
-    i = _sigmoid(gates[:, 0 * H:1 * H])
-    f = _sigmoid(gates[:, 1 * H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = _sigmoid(gates[:, 3 * H:4 * H])
-    c_t = cs_ref[0]
+    gates = _recompute_fused_gates(x_t, h_prev, wih_t_ref, bias_ref,
+                                   whh_t_ref)
     c_prev = cs_prev_ref[0] * valid
 
     dh = dhs_ref[0].astype(jnp.float32) + dh_scr[:]
-    tanh_c = jnp.tanh(c_t)
-    do = dh * tanh_c
-    dc = dc_scr[:] + dh * o * (1.0 - tanh_c * tanh_c)
-    di = dc * g
-    dg = dc * i
-    df = dc * c_prev
-    dc_scr[:] = dc * f
-
-    dgates = jnp.concatenate([
-        di * i * (1.0 - i),
-        df * f * (1.0 - f),
-        dg * (1.0 - g * g),
-        do * o * (1.0 - o),
-    ], axis=1)  # (BB, 4H) f32
+    dgates, dc_next = _bptt_dgates(gates, cs_ref[0], c_prev, dh,
+                                   dc_scr[:], H)
+    dc_scr[:] = dc_next
     dgates_w = dgates.astype(whh_t_ref.dtype)
     # dX streams out in the x dtype; dW_ih / db / dW_hh accumulate f32 in
     # constant-indexed VMEM blocks across the whole grid
@@ -412,12 +410,7 @@ def _bwd_fused_kernel(x_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
     dwih_ref[:] = dwih_ref[:] + jnp.dot(
         x_t.T, dgates_w, preferred_element_type=jnp.float32)
     db_ref[:] = db_ref[:] + jnp.sum(dgates, axis=0, keepdims=True)
-    dh_scr[:] = jax.lax.dot_general(
-        dgates_w, whh_t_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwhh_ref[:] = dwhh_ref[:] + jnp.dot(
-        h_prev.astype(whh_t_ref.dtype).T, dgates_w,
-        preferred_element_type=jnp.float32)
+    _bwd_recurrent_grads(dgates_w, h_prev, whh_t_ref, dh_scr, dwhh_ref)
 
 
 # scoped-VMEM budget for the fused BACKWARD residents (W_ih^T + W_hh^T in
@@ -544,41 +537,17 @@ def _bwd_semi_kernel(x_ref, cs_prev_ref, cs_ref, hs_prev_ref, dhs_ref,
 
     valid = (r != pl.num_programs(1) - 1).astype(jnp.float32)
     h_prev = hs_prev_ref[0] * valid.astype(hs_prev_ref.dtype)
-    gates = (jnp.dot(x_ref[0], wih_t_ref[:],
-                     preferred_element_type=jnp.float32)
-             + bias_ref[:]
-             + jnp.dot(h_prev.astype(whh_t_ref.dtype), whh_t_ref[:],
-                       preferred_element_type=jnp.float32))
-    i = _sigmoid(gates[:, 0 * H:1 * H])
-    f = _sigmoid(gates[:, 1 * H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = _sigmoid(gates[:, 3 * H:4 * H])
-    c_t = cs_ref[0]
+    gates = _recompute_fused_gates(x_ref[0], h_prev, wih_t_ref, bias_ref,
+                                   whh_t_ref)
     c_prev = cs_prev_ref[0] * valid
 
     dh = dhs_ref[0].astype(jnp.float32) + dh_scr[:]
-    tanh_c = jnp.tanh(c_t)
-    do = dh * tanh_c
-    dc = dc_scr[:] + dh * o * (1.0 - tanh_c * tanh_c)
-    di = dc * g
-    dg = dc * i
-    df = dc * c_prev
-    dc_scr[:] = dc * f
-
-    dgates = jnp.concatenate([
-        di * i * (1.0 - i),
-        df * f * (1.0 - f),
-        dg * (1.0 - g * g),
-        do * o * (1.0 - o),
-    ], axis=1)
+    dgates, dc_next = _bptt_dgates(gates, cs_ref[0], c_prev, dh,
+                                   dc_scr[:], H)
+    dc_scr[:] = dc_next
     dgx_ref[0] = dgates.astype(dgx_ref.dtype)
-    dgates_w = dgates.astype(whh_t_ref.dtype)
-    dh_scr[:] = jax.lax.dot_general(
-        dgates_w, whh_t_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwhh_ref[:] = dwhh_ref[:] + jnp.dot(
-        h_prev.astype(whh_t_ref.dtype).T, dgates_w,
-        preferred_element_type=jnp.float32)
+    _bwd_recurrent_grads(dgates.astype(whh_t_ref.dtype), h_prev,
+                         whh_t_ref, dh_scr, dwhh_ref)
 
 
 def semifused_eligible(In: int, H: int, dtype) -> bool:
@@ -677,12 +646,17 @@ def _vjp_bwd_semi(reverse, interpret, residuals, cotangents):
 lstm_layer_semifused.defvjp(_vjp_fwd_semi, _vjp_bwd_semi)
 
 
-@functools.lru_cache(maxsize=None)
-def sharded_lstm_layer_semifused(mesh, data_axis: str = "data"):
-    """Half-fused kernel per batch shard: the fwd/bwd kernels shard_map
-    over the data axis (dW_hh psum'd in-rule); the dX/dW_ih/db matmuls
-    run on the batch-sharded dgx outside shard_map, where GSPMD inserts
-    the same psum it would for any batch-parallel weight gradient."""
+def _make_sharded_fused_family(mesh, data_axis: str, semifused: bool):
+    """Shared shard_map + custom-VJP scaffolding for the fused-projection
+    kernel family under a device mesh.  The forward is identical for both
+    tiers; they differ only in the backward leg:
+
+    * fully fused — dX/dW_ih/db/dW_hh all come out of the per-shard kernel,
+      weight grads psum'd over the data axis in-rule;
+    * half-fused — the kernel emits the batch-sharded dgx (+ psum'd dW_hh)
+      and the dX/dW_ih/db matmuls run outside shard_map, where GSPMD
+      inserts the same psum it would for any batch-parallel weight grad.
+    """
     from jax.sharding import PartitionSpec as P
 
     spec_tb = P(None, data_axis, None)
@@ -711,7 +685,9 @@ def sharded_lstm_layer_semifused(mesh, data_axis: str = "data"):
         c_last = cs[0] if reverse else cs[-1]
         return (hs, c_last), (x, w_ih, bias, w_hh, hs, cs)
 
-    def bwd_rule(reverse, interpret, residuals, cotangents):
+    bwd_in = (spec_tb, spec_tb, spec_tb, spec_tb, spec_b, rep, rep, rep)
+
+    def bwd_rule_semi(reverse, interpret, residuals, cotangents):
         dhs, dc_last = cotangents
         x, w_ih, bias, w_hh, hs, cs = residuals
 
@@ -720,16 +696,34 @@ def sharded_lstm_layer_semifused(mesh, data_axis: str = "data"):
                                       dcl, reverse, interpret)
             return dgx, jax.lax.psum(dwhh, data_axis)
 
-        dgx, dwhh = _sm(
-            local,
-            (spec_tb, spec_tb, spec_tb, spec_tb, spec_b, rep, rep, rep),
-            (spec_tb, rep),
-        )(x, hs, cs, dhs, dc_last, w_ih, bias, w_hh)
+        dgx, dwhh = _sm(local, bwd_in, (spec_tb, rep))(
+            x, hs, cs, dhs, dc_last, w_ih, bias, w_hh)
         dx, dwih, db = _semi_input_grads(x, w_ih, bias, dgx)
         return dx, dwih, db, dwhh
 
-    f.defvjp(fwd_rule, bwd_rule)
+    def bwd_rule_full(reverse, interpret, residuals, cotangents):
+        dhs, dc_last = cotangents
+        x, w_ih, bias, w_hh, hs, cs = residuals
+
+        def local(x_l, hs_l, cs_l, dhs_l, dcl, wi, b, wh):
+            dx, dwih, db, dwhh = _run_bwd_fused(
+                x_l, wi, b, wh, hs_l, cs_l, dhs_l, dcl, reverse, interpret)
+            return (dx, jax.lax.psum(dwih, data_axis),
+                    jax.lax.psum(db, data_axis),
+                    jax.lax.psum(dwhh, data_axis))
+
+        return _sm(local, bwd_in, (spec_tb, rep, rep, rep))(
+            x, hs, cs, dhs, dc_last, w_ih, bias, w_hh)
+
+    f.defvjp(fwd_rule, bwd_rule_semi if semifused else bwd_rule_full)
     return f
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_lstm_layer_semifused(mesh, data_axis: str = "data"):
+    """Half-fused kernel per batch shard (see
+    :func:`_make_sharded_fused_family`)."""
+    return _make_sharded_fused_family(mesh, data_axis, semifused=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -761,56 +755,10 @@ lstm_layer_fused.defvjp(_vjp_fwd_fused, _vjp_bwd_fused)
 
 @functools.lru_cache(maxsize=None)
 def sharded_lstm_layer_fused(mesh, data_axis: str = "data"):
-    """Fused-projection kernel per batch shard under a device mesh (see
-    :func:`sharded_lstm_layer`); dW_ih / db / dW_hh psum over the data
-    axis like any batch-parallel matmul's weight gradients."""
-    from jax.sharding import PartitionSpec as P
-
-    spec_tb = P(None, data_axis, None)
-    spec_b = P(data_axis, None)
-    rep = P()
-
-    def _sm(fn, in_specs, out_specs):
-        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)
-
-    def _fwd(x, w_ih, bias, w_hh, reverse, interpret):
-        return _sm(
-            functools.partial(_run_fwd_fused, reverse=reverse,
-                              interpret=interpret),
-            (spec_tb, rep, rep, rep), (spec_tb, spec_tb),
-        )(x, w_ih, bias, w_hh)
-
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-    def f(x, w_ih, bias, w_hh, reverse: bool = False,
-          interpret: bool = False):
-        hs, cs = _fwd(x, w_ih, bias, w_hh, reverse, interpret)
-        return hs, (cs[0] if reverse else cs[-1])
-
-    def fwd_rule(x, w_ih, bias, w_hh, reverse, interpret):
-        hs, cs = _fwd(x, w_ih, bias, w_hh, reverse, interpret)
-        c_last = cs[0] if reverse else cs[-1]
-        return (hs, c_last), (x, w_ih, bias, w_hh, hs, cs)
-
-    def bwd_rule(reverse, interpret, residuals, cotangents):
-        dhs, dc_last = cotangents
-        x, w_ih, bias, w_hh, hs, cs = residuals
-
-        def local(x_l, hs_l, cs_l, dhs_l, dcl, wi, b, wh):
-            dx, dwih, db, dwhh = _run_bwd_fused(
-                x_l, wi, b, wh, hs_l, cs_l, dhs_l, dcl, reverse, interpret)
-            return (dx, jax.lax.psum(dwih, data_axis),
-                    jax.lax.psum(db, data_axis),
-                    jax.lax.psum(dwhh, data_axis))
-
-        return _sm(
-            local,
-            (spec_tb, spec_tb, spec_tb, spec_tb, spec_b, rep, rep, rep),
-            (spec_tb, rep, rep, rep),
-        )(x, hs, cs, dhs, dc_last, w_ih, bias, w_hh)
-
-    f.defvjp(fwd_rule, bwd_rule)
-    return f
+    """Fused-projection kernel per batch shard (see
+    :func:`_make_sharded_fused_family`); dW_ih / db / dW_hh psum over the
+    data axis like any batch-parallel matmul's weight gradients."""
+    return _make_sharded_fused_family(mesh, data_axis, semifused=False)
 
 
 @functools.lru_cache(maxsize=None)

@@ -302,6 +302,39 @@ def test_fused_bf16_streams():
     assert err < 0.05, err
 
 
+def test_fused_bf16_gradients_match_reference():
+    """bf16 AMP gradients through the fused/semifused backward kernels:
+    dX/dW_ih emitted in the stream dtype, db/dW_hh accumulated in f32 —
+    all must track f32 scan autodiff within bf16 rounding (the production
+    AMP path; mirrors test_pallas_lstm_bf16_streams for the unfused
+    kernel)."""
+    from mlvae_tpu.ops.lstm_pallas import (lstm_layer_fused,
+                                           lstm_layer_semifused)
+
+    for kernel in (lstm_layer_fused, lstm_layer_semifused):
+        x, w_ih, bias, w_hh = _fused_inputs(seed=13, In=64)
+        x16 = x.astype(jnp.bfloat16)
+        wi16 = w_ih.astype(jnp.bfloat16)
+        wh16 = w_hh.astype(jnp.bfloat16)
+
+        def loss_p(x, wi, b, wh):
+            hs, c = kernel(x, wi, b, wh, False, True)
+            return jnp.sum(hs.astype(jnp.float32) ** 2) + jnp.sum(c)
+
+        def loss_s(x, wi, b, wh):
+            hs, c = _ref_fused(x, wi, b, wh, False)
+            return jnp.sum(hs ** 2) + jnp.sum(c)
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(x16, wi16, bias, wh16)
+        gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(x, w_ih, bias, w_hh)
+        assert gp[0].dtype == jnp.bfloat16
+        assert gp[2].dtype == jnp.float32
+        for name, a, b in zip(("dx", "dw_ih", "db", "dw_hh"), gp, gs):
+            rel = float(jnp.abs(a.astype(jnp.float32) - b).max()
+                        / jnp.maximum(jnp.abs(b).max(), 1e-8))
+            assert rel < 0.05, (kernel.__name__, name, rel)
+
+
 def test_fused_eligibility_budget():
     from mlvae_tpu.ops.lstm_pallas import fused_eligible
 

@@ -125,7 +125,8 @@ def test_sharded_fused_lstm_matches_reference(reverse):
         assert rel < 1e-5, (name, rel)
 
 
-def test_sharded_semifused_lstm_matches_reference():
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sharded_semifused_lstm_matches_reference(reverse):
     """Half-fused variant under the DP mesh: sharded kernels + GSPMD
     dX/dW_ih/db einsums reproduce single-device autodiff."""
     from mlvae_tpu.ops.lstm_pallas import sharded_lstm_layer_semifused
@@ -139,11 +140,11 @@ def test_sharded_semifused_lstm_matches_reference():
     w_hh = jnp.asarray(rs.randn(64, 16) * 0.1, jnp.float32)
 
     def loss_p(*a):
-        hs, cl = f(*a, False, True)
+        hs, cl = f(*a, reverse, True)
         return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(cl))
 
     def loss_s(*a):
-        hs, cl = _ref_fused(*a)
+        hs, cl = _ref_fused(*a, reverse)
         return jnp.sum(hs ** 2) + jnp.sum(jnp.sin(cl))
 
     gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3)))(x, w_ih, bias, w_hh)

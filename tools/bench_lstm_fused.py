@@ -101,7 +101,19 @@ def main() -> None:
     out: dict = {"platform": None}
     try:
         out["platform"] = jax.devices()[0].platform
+        from mlvae_tpu.ops.lstm_pallas import (fused_eligible,
+                                               semifused_eligible)
         for dtype, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+            # record which kernel the fused arm actually dispatches to at
+            # this (In, H, dtype) — e.g. f32 In=H=512 is over the
+            # full-fused VMEM budget and runs the SEMIFUSED kernel
+            if fused_eligible(512, 512, dtype):
+                tier = "fused"
+            elif semifused_eligible(512, 512, dtype):
+                tier = "semifused"
+            else:
+                tier = "unfused"
+            out[f"fused_arm_kernel_{name}"] = tier
             for fused in (False, True):
                 ms = time_layer(128, 160, 512, 512, dtype, fused)
                 out[f"layer_ms_{name}_{'fused' if fused else 'unfused'}"] = \
