@@ -48,11 +48,23 @@ PALLAS_LSTM_MESH = None          # set by the Brain via set_pallas_mesh
 PALLAS_LSTM_DATA_AXIS = "data"
 
 # Fused input-projection kernel variant (the (T,B,4H) gates tensor never
-# touches HBM — docs/PERF.md "headroom" item).  Opt-in via
-# MLVAE_PALLAS_FUSED=1 until validated on hardware; tools/bench_lstm_fused.py
-# A/Bs both settings on the real chip.
+# touches HBM — docs/PERF.md "headroom" item).  Validated on hardware
+# (tools/bench_lstm_fused.py, v5e): bf16 streams win — full AMP step
+# 19.9k → 20.8k utt-sec/sec (+4.5%) — while the f32 semifused arm measured
+# slightly SLOWER than the hoisted projection (3.14 → 3.23 ms/layer), so
+# the default is tri-state "auto" = fused for bf16 streams only.
+# MLVAE_PALLAS_FUSED=1 forces both dtypes on, =0 forces off.
 import os as _os
-PALLAS_LSTM_FUSED = _os.environ.get("MLVAE_PALLAS_FUSED", "0") == "1"
+PALLAS_LSTM_FUSED = {"1": True, "0": False}.get(
+    _os.environ.get("MLVAE_PALLAS_FUSED", "auto"), "auto")
+
+
+def _fused_requested(dtype) -> bool:
+    """Whether the fused-projection kernels are requested for this stream
+    dtype (eligibility is checked separately per layer shape)."""
+    if PALLAS_LSTM_FUSED == "auto":
+        return dtype == jnp.bfloat16
+    return bool(PALLAS_LSTM_FUSED)
 
 
 def set_pallas_mesh(mesh) -> None:
@@ -146,7 +158,8 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
         In = x.shape[-1]
         In_pad = -(-In // 128) * 128
         fused = None
-        if PALLAS_LSTM_FUSED and fused_eligible(In_pad, H, x.dtype):
+        fused_req = _fused_requested(x.dtype)
+        if fused_req and fused_eligible(In_pad, H, x.dtype):
             # fully fused: the input projection moves INTO the kernel, so
             # the (T,B,4H) gates tensor never exists in HBM; backward
             # accumulates dX/dW_ih/db in-kernel too
@@ -156,7 +169,7 @@ def _lstm_layer(x, h0, c0, w_ih, w_hh, b_ih, b_hh, reverse: bool = False):
                                                  PALLAS_LSTM_DATA_AXIS)
             else:
                 from mlvae_tpu.ops.lstm_pallas import lstm_layer_fused as fused
-        elif PALLAS_LSTM_FUSED and semifused_eligible(In_pad, H, x.dtype):
+        elif fused_req and semifused_eligible(In_pad, H, x.dtype):
             # half-fused (wide-input layers, e.g. the bi-decoder's In=2H):
             # fused forward; backward streams x and emits dgx for XLA
             if PALLAS_LSTM_MESH is not None:

@@ -39,10 +39,12 @@ NEG_INF = -1e30  # avoids -inf arithmetic inside scans
 
 # Pallas decode kernels (ops/decode_pallas.py): the two lax.scans' per-step
 # while-loop dispatch dominates the decode wall time at these tiny carry
-# sizes.  Opt-in until hardware-validated (the scan path stays the default
-# and the parity oracle).
+# sizes.  Hardware-validated (tools/bench_decode_pallas.py, v5e): bit-exact
+# vs the scan path on-device, decode-only 1.33 → 0.93 ms at B=128 (1.42×).
+# Default ON for TPU batches aligned to the kernel's 8-row sublane tile;
+# MLVAE_PALLAS_DECODE=0 opts out (the scan path stays the parity oracle).
 import os as _os
-PALLAS_DECODE_ENABLED = _os.environ.get("MLVAE_PALLAS_DECODE", "0") == "1"
+PALLAS_DECODE_ENABLED = _os.environ.get("MLVAE_PALLAS_DECODE", "1") == "1"
 
 
 def clamped_log(x):

@@ -119,7 +119,9 @@ def _bwd_kernel(path0_ref, path1_ref, lastl_ref, beta0_ref,
         beta_scr[:] = beta0_ref[:].astype(jnp.float32)
         md_scr[:] = beta0_ref[:].astype(jnp.float32)
         # plvl starts as zeros with beta0 at the last phoneme slot
-        lanes = jax.lax.broadcasted_iota(jnp.float32, plvl_ref.shape, 1)
+        # Mosaic rejects float-dtype iota ops; build int lanes and convert.
+        lanes = jax.lax.broadcasted_iota(
+            jnp.int32, plvl_ref.shape, 1).astype(jnp.float32)
         plvl_ref[:] = jnp.where(lanes == lastl_ref[:].astype(jnp.float32),
                                 beta0_ref[:].astype(jnp.float32), 0.0)
 
@@ -127,7 +129,8 @@ def _bwd_kernel(path0_ref, path1_ref, lastl_ref, beta0_ref,
     beta = beta_scr[:]
     cur_md = md_scr[:]
 
-    lanes = jax.lax.broadcasted_iota(jnp.float32, (l_cur.shape[0], L), 1)
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (l_cur.shape[0], L), 1).astype(jnp.float32)
     onehot_l = (lanes == l_cur).astype(jnp.float32)           # (BB, L)
     path_beta = jnp.where(beta == 0.0, path0_ref[0].astype(jnp.float32),
                           path1_ref[0].astype(jnp.float32))   # (BB, L)

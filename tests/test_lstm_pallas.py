@@ -457,3 +457,17 @@ def test_fused_dispatch_pads_unaligned_inputs(monkeypatch):
     for k in ref_g:
         np.testing.assert_allclose(np.asarray(g[k]), np.asarray(ref_g[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_fused_requested_tristate(monkeypatch):
+    """The hardware-validated default: fused kernels for bf16 streams only
+    (tools/bench_lstm_fused.py: +4.5% full AMP step, f32 semifused arm
+    slightly slower), with MLVAE_PALLAS_FUSED=1/0 forcing both ways."""
+    import mlvae_tpu.nn.rnn as rnn
+    monkeypatch.setattr(rnn, "PALLAS_LSTM_FUSED", "auto")
+    assert rnn._fused_requested(jnp.bfloat16)
+    assert not rnn._fused_requested(jnp.float32)
+    monkeypatch.setattr(rnn, "PALLAS_LSTM_FUSED", True)
+    assert rnn._fused_requested(jnp.float32)
+    monkeypatch.setattr(rnn, "PALLAS_LSTM_FUSED", False)
+    assert not rnn._fused_requested(jnp.bfloat16)

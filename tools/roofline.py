@@ -60,35 +60,68 @@ class Ledger:
         return "\n".join(out)
 
 
-def lstm_dir_layer(led, name, In, H=512, stream=BF16):
+def lstm_dir_layer(led, name, In, H=512, stream=BF16, mode="auto"):
     """One DIRECTIONAL Pallas LSTM layer fwd+bwd (ops/lstm_pallas.py).
 
-    Streams per time step (all touched exactly once per step over the
-    (grid = batch-blocks x T) sweep):
-      fwd:  gx read (stream), hs write (stream), cs write (f32)
-            [x read + gx write by the XLA input-projection matmul]
-      bwd:  gx read, cs read x2 (c_prev + c_t views), hs read (h_prev),
-            dhs read, dgx write (stream)
-            [dgx read + x read + dX write by the XLA dX/dW_ih matmuls]
+    ``mode`` models the nn/rnn dispatch, now default-on for bf16 streams
+    (hardware-validated, docs/PERF.md):
+
+    - "hoisted": recurrence-only kernel + XLA input projection.  Streams per
+      time step: fwd gx read (stream) + hs/cs writes [x read + gx write by
+      the XLA projection matmul]; bwd gx read, cs read x2 (c_prev + c_t
+      views), hs read (h_prev), dhs read, dgx write [dgx read x2 + x read +
+      dX write by the XLA dX/dW_ih matmuls].
+    - "fused": input projection inside the kernel — the (T,B,4H) gates
+      tensor never exists in HBM; x/dX stream instead and dW_ih/db
+      accumulate in VMEM.
+    - "semifused": fused forward; backward streams x, recomputes gates, and
+      emits dgx for XLA's dX/dW_ih matmuls (the In=1024 decoder layers,
+      whose fully-fused residents exceed the VMEM budget).
+    - "auto": what the bf16 default dispatch picks for (In, H): fused when
+      the backward residents fit, else semifused.
+
     W_hh / dW_hh stay VMEM-resident (negligible vs the streams).
     """
+    In_pad = -(-In // 128) * 128
+    if mode == "auto":
+        from mlvae_tpu.ops.lstm_pallas import (fused_eligible,
+                                               semifused_eligible)
+        if fused_eligible(In_pad, H, "bfloat16" if stream == BF16
+                          else "float32") and stream == BF16:
+            mode = "fused"
+        elif stream == BF16 and semifused_eligible(In_pad, H, "bfloat16"):
+            mode = "semifused"
+        else:
+            mode = "hoisted"
     G = 4 * H
     gx = E * G * stream          # one touch of the (T,B,4H) pre-gates
     hs = E * H * stream
     cs = E * H * F32
     dhs = E * H * stream
-    x = E * In * stream
-    total = (
-        # forward: XLA proj (x read, gx write) + kernel (gx read, hs+cs write)
-        x + gx + gx + hs + cs
-        # backward kernel: gx read, cs read x2, hs read, dhs read, dgx write
-        + gx + 2 * cs + hs + dhs + gx
-        # backward XLA: dgx read (dX matmul), dgx read (dW_ih matmul),
-        # x read (dW_ih), dX write
-        + 2 * gx + x + x
-    )
-    led.add(f"lstm {name} (In={In})", total,
-            "Pallas recurrence + XLA projections")
+    x = E * In_pad * stream      # fused paths stream the lane-padded x
+    if mode == "fused":
+        # fwd kernel: x read, hs+cs write; bwd kernel: x read, cs read x2,
+        # hs read, dhs read, dX write (dW_ih/db accumulate in VMEM)
+        total = (x + hs + cs) + (x + 2 * cs + hs + dhs + x)
+    elif mode == "semifused":
+        # fwd kernel: x read, hs+cs write; bwd kernel: x read, cs x2, hs,
+        # dhs, dgx write; XLA: dgx read x2 (dX + dW_ih), x read, dX write
+        total = ((x + hs + cs) + (x + 2 * cs + hs + dhs + gx)
+                 + 2 * gx + x + x)
+    else:
+        x = E * In * stream      # hoisted path takes unpadded x
+        total = (
+            # fwd: XLA proj (x read, gx write) + kernel (gx read, hs+cs wr)
+            x + gx + gx + hs + cs
+            # bwd kernel: gx read, cs read x2, hs read, dhs read, dgx write
+            + gx + 2 * cs + hs + dhs + gx
+            # bwd XLA: dgx read (dX matmul), dgx read (dW_ih matmul),
+            # x read (dW_ih), dX write
+            + 2 * gx + x + x
+        )
+    led.add(f"lstm {name} (In={In}, {mode})", total,
+            "Pallas recurrence + XLA projections" if mode == "hoisted"
+            else f"{mode} Pallas kernel")
     return total
 
 
