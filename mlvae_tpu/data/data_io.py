@@ -44,6 +44,61 @@ logger = logging.getLogger(__name__)
 
 SET_NAMES = ["train", "valid", "test"]
 
+
+class DegradedDeviceFallback:
+    """Run a jittable batch function on the default device, permanently
+    falling back to the host CPU backend once any call's round trip exceeds
+    a threshold.
+
+    Motivation: the single-chip tunnel this framework is developed against
+    has windows where device *compute* still answers but device->host
+    transfers collapse to ~0.2 MB/s (measured, docs/PERF.md) — a corpus
+    dataset-prep feature pass that normally takes ~30 s then blocks for an
+    hour on its first chunk fetch.  Feature prep is an offline, run-once
+    path whose outputs are cached to disk, so numerics-equal CPU execution
+    is always an acceptable substitute; training itself only ever fetches
+    scalars and is unaffected.
+
+    The threshold (``MLVAE_PREP_DEVICE_TIMEOUT_S``, default 120 s, ``0``
+    disables the fallback) is far above a healthy cold-compile+fetch
+    round trip, so a trip only ever signals a degraded transport.  A
+    tripped runner stays on the CPU backend for the rest of the process
+    (the degradation windows are hour-scale).
+    """
+
+    def __init__(self, fn, slow_s: float | None = None):
+        import os
+        self.fn = fn
+        self.slow_s = (float(os.environ.get("MLVAE_PREP_DEVICE_TIMEOUT_S",
+                                            "120"))
+                       if slow_s is None else float(slow_s))
+        self.host_fallback = False
+
+    def _cpu_device(self):
+        import jax
+        try:
+            return jax.devices("cpu")[0]
+        except Exception:  # no CPU backend registered: nothing to fall to
+            return None
+
+    def __call__(self, *args, **kwargs):
+        import jax
+        if self.host_fallback:
+            with jax.default_device(self._cpu_device()):
+                return np.asarray(self.fn(*args, **kwargs))
+        t0 = time.time()
+        out = np.asarray(self.fn(*args, **kwargs))
+        took = time.time() - t0
+        if (self.slow_s > 0 and took > self.slow_s
+                and jax.default_backend() != "cpu"
+                and self._cpu_device() is not None):
+            logger.warning(
+                "device feature chunk took %.0f s (> %.0f s threshold): "
+                "device transport looks degraded; falling back to the host "
+                "CPU backend for the remaining chunks", took, self.slow_s)
+            self.host_fallback = True
+        return out
+
 # Reference output-key inventory (utils/data_io.py:24-37)
 OUTPUT_KEYS = [
     "id",
@@ -180,6 +235,10 @@ def data_io_prep(hparams):
                 "rate/hop configuration")
         return feat[:n]
 
+    feature_runner = DegradedDeviceFallback(compute_features)
+    aug_runner = (DegradedDeviceFallback(augmentation)
+                  if augmentation is not None else None)
+
     def _batched_sb_features(wavs):
         """One device call per 64-utterance chunk instead of one per
         utterance: per-utt calls cost ~2 host fetches x ~30 ms tunnel RTT
@@ -201,7 +260,7 @@ def data_io_prep(hparams):
             for j, u in enumerate(chunk):
                 arr[j, : len(wavs[u])] = wavs[u]
                 lens[j] = len(wavs[u])
-            feats = np.asarray(compute_features(arr, lens))
+            feats = np.asarray(feature_runner(arr, lens))
             for j, u in enumerate(chunk):
                 n = int(lens[j]) // compute_features.hop + 1
                 out[u] = _trim_to_kaldi(
@@ -223,7 +282,7 @@ def data_io_prep(hparams):
         wav_store.update(wavs)
         sb_feats.update(_batched_sb_features(wavs))
         if augmentation is not None:
-            aug = {u: np.asarray(augmentation(w[None]))[0]
+            aug = {u: np.asarray(aug_runner(w[None]))[0]
                    for u, w in wavs.items()}
             aug_wav_store.update(aug)
             aug_sb_feats.update(_batched_sb_features(aug))

@@ -318,3 +318,48 @@ def test_dynamic_item_single_provides_generator():
 
     ds.add_dynamic_item(pipe, ["x"], ["y"])
     assert ds.compute_sample("u1")["y"] == 6
+
+
+class TestDegradedDeviceFallback:
+    """data_io.DegradedDeviceFallback: permanent host-CPU fallback once a
+    chunk's device round trip exceeds the threshold (the degraded-tunnel
+    windows documented in docs/PERF.md)."""
+
+    def _runner(self, monkeypatch, slow_s, backend="tpu"):
+        import jax
+        from mlvae_tpu.data import data_io
+        monkeypatch.setattr(jax, "default_backend", lambda: backend)
+        calls = []
+
+        def fn(x):
+            calls.append(jax.config.jax_default_device)
+            return x * 2.0
+
+        return data_io.DegradedDeviceFallback(fn, slow_s=slow_s), calls
+
+    def test_fast_calls_stay_on_device(self, monkeypatch):
+        r, calls = self._runner(monkeypatch, slow_s=1e9)
+        x = np.ones((4,), np.float32)
+        np.testing.assert_allclose(r(x), 2 * x)
+        assert not r.host_fallback
+        assert calls == [None]  # no default_device override applied
+
+    def test_slow_call_trips_permanent_fallback(self, monkeypatch):
+        r, calls = self._runner(monkeypatch, slow_s=1e-9)
+        x = np.ones((4,), np.float32)
+        np.testing.assert_allclose(r(x), 2 * x)   # this call trips it
+        assert r.host_fallback
+        np.testing.assert_allclose(r(x), 2 * x)   # runs under CPU default
+        assert calls[0] is None
+        assert calls[1] is not None               # cpu device pinned
+        assert calls[1].platform == "cpu"
+
+    def test_threshold_zero_disables(self, monkeypatch):
+        r, _ = self._runner(monkeypatch, slow_s=0)
+        r(np.ones((2,), np.float32))
+        assert not r.host_fallback
+
+    def test_cpu_backend_never_trips(self, monkeypatch):
+        r, _ = self._runner(monkeypatch, slow_s=1e-9, backend="cpu")
+        r(np.ones((2,), np.float32))
+        assert not r.host_fallback
