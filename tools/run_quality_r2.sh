@@ -38,8 +38,12 @@ if not (root / "original_dataset").exists():
     print("corpus synthesized")
 EOF
 
+# --async_ckpt keeps the ~235 MB/save checkpoint fetches off the training
+# critical path: the tunnel's D2H bandwidth flaps between ~40 and ~0.2 MB/s
+# (docs/RESULTS.md A/B shows async saves leave metrics identical).
 COMMON=(--dataset SynAudioMNIST --language digits --n_phonemes 12
-        --scan_epoch True --bf16 True --noprogressbar True)
+        --scan_epoch True --bf16 True --noprogressbar True
+        --async_ckpt True)
 CFG="$REPO/config/run.yaml"
 
 run_train() { # name model_class extra...
@@ -61,12 +65,14 @@ run_test  sfl_amp MD_VAE_sfl
 phase train_sfl_f32 python -m mlvae_tpu.cli.train "$CFG" \
     --dataset SynAudioMNIST --language digits --n_phonemes 12 \
     --scan_epoch True --bf16 False --noprogressbar True \
+    --async_ckpt True \
     --model_class MD_VAE_sfl --model_name sfl_f32 \
     --model "!include:$REPO/mlvae_tpu/models/MD_VAE_sfl/model.yaml" \
     --extra_overrides "{model: {n_epochs: 30}}"
 phase test_sfl_f32 python -m mlvae_tpu.cli.test "$CFG" \
     --dataset SynAudioMNIST --language digits --n_phonemes 12 \
     --scan_epoch True --bf16 False --noprogressbar True \
+    --async_ckpt True \
     --model_class MD_VAE_sfl --model_name sfl_f32 \
     --model "!include:$REPO/mlvae_tpu/models/MD_VAE_sfl/model.yaml"
 
