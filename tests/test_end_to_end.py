@@ -71,3 +71,37 @@ def test_training_reduces_loss(workdir):
     first = float(train_lines[0].split("loss: ")[1].split(",")[0])
     last = float(train_lines[-1].split("loss: ")[1].split(",")[0])
     assert last < first, (first, last)
+
+
+def test_scan_epoch_with_async_ckpt(workdir):
+    """The corpus quality-run configuration (--scan_epoch + --async_ckpt
+    together): the epoch-in-jit fit must interleave with worker-thread
+    checkpoint saves, flush at fit end, and recall the best checkpoint at
+    evaluate time.  (Scan/loop numeric parity and async/sync checkpoint
+    parity are each pinned by their own suites; this locks the combination
+    through the real CLI.)"""
+    from mlvae_tpu.cli import train as train_cli
+    from mlvae_tpu.cli import test as test_cli
+
+    model_yaml = REPO / "mlvae_tpu/models/test_vanilla_vae/model.yaml"
+    args = [
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", "test_vanilla_vae",
+        "--model_name", "tv_scan_async",
+        "--model", f"!include:{model_yaml}",
+        "--extra_overrides", "{model: {n_epochs: 3}}",
+        "--scan_epoch", "True",
+        "--async_ckpt", "True",
+        "--noprogressbar", "True",
+    ]
+    model = train_cli.main(args)
+    assert model.hparams["epoch_counter"].current == 3
+    out_dir = workdir / "results/tv_scan_async"
+    ckpts = list((out_dir / "checkpoints").iterdir())
+    assert len(ckpts) >= 1  # async worker flushed before fit returned
+
+    test_cli.main(args)
+    assert (out_dir / "test_output/test_metrics.txt").exists()
