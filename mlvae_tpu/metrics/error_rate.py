@@ -69,6 +69,16 @@ class ErrorRateStats:
             def fmt(seq):
                 if ind2lab is None:
                     return " ".join(str(x) for x in seq)
-                return " ".join(ind2lab([x])[0] for x in seq)
+                out = []
+                for x in seq:
+                    try:
+                        out.append(ind2lab([x])[0])
+                    except KeyError:
+                        # an untrained CTC head can argmax the unused
+                        # (n_phonemes+2)th class, which has no label (the
+                        # encoder holds phoneme_set + blank only); render it
+                        # rather than refuse to write the stats file
+                        out.append(f"<unk:{x}>")
+                return " ".join(out)
             f.write(f"{d['utt_id']}: ref= {fmt(d['ref'])}\n")
             f.write(f"{' ' * len(str(d['utt_id']))}  hyp= {fmt(d['hyp'])}\n")

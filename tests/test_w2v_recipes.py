@@ -83,8 +83,15 @@ def test_w2v_crdnn_cnncl_saves_posteriors_roundtrip(workdir):
     from mlvae_tpu.cli import train as train_cli
     from mlvae_tpu.cli import test as test_cli
 
-    train_cli.main(_args("w2v_CRDNN_CTC_cnncl"))
-    test_cli.main(_args("w2v_CRDNN_CTC_cnncl"))
+    # the reference yaml nulls both selection keys (training then raises at
+    # the first VALID save, reference md_model.py:159-160) and ships a
+    # CRDNN_CTC-sized trunk; the smoke run overrides a key and shrinks the
+    # trunk exactly as a reference user must
+    shrink = (", min_key: loss, cnn_blocks: 1"
+              ", rnn_layers: 1, rnn_neurons: 32, rnn_bidirectional: False"
+              ", dnn_blocks: 1, dnn_neurons: 64")
+    train_cli.main(_args("w2v_CRDNN_CTC_cnncl", extra_model=shrink))
+    test_cli.main(_args("w2v_CRDNN_CTC_cnncl", extra_model=shrink))
     saved = workdir / "results/w2v_CRDNN_CTC_cnncl_smoke/saved_phn_recog_outs.pkl"
     assert saved.exists()
     with open(saved, "rb") as f:
