@@ -47,8 +47,8 @@ SET_NAMES = ["train", "valid", "test"]
 
 class DegradedDeviceFallback:
     """Run a jittable batch function on the default device, permanently
-    falling back to the host CPU backend once any call's round trip exceeds
-    a threshold.
+    falling back to the host CPU backend once two consecutive
+    post-compile calls' round trips exceed a threshold.
 
     Motivation: the single-chip tunnel this framework is developed against
     has windows where device *compute* still answers but device->host
@@ -73,6 +73,8 @@ class DegradedDeviceFallback:
                                             "120"))
                        if slow_s is None else float(slow_s))
         self.host_fallback = False
+        self._calls = 0
+        self._consecutive_slow = 0
 
     def _cpu_device(self):
         import jax
@@ -89,13 +91,24 @@ class DegradedDeviceFallback:
         t0 = time.time()
         out = np.asarray(self.fn(*args, **kwargs))
         took = time.time() - t0
-        if (self.slow_s > 0 and took > self.slow_s
+        self._calls += 1
+        # The first call carries jit compilation (can legitimately take
+        # minutes cold), so it never counts toward the trip decision; after
+        # that, require TWO consecutive over-threshold calls so a one-off
+        # stall (host GC, transient blip) doesn't pin the rest of the
+        # process to the host CPU backend.
+        if self._calls == 1 or took <= self.slow_s or self.slow_s <= 0:
+            self._consecutive_slow = 0
+            return out
+        self._consecutive_slow += 1
+        if (self._consecutive_slow >= 2
                 and jax.default_backend() != "cpu"
                 and self._cpu_device() is not None):
             logger.warning(
-                "device feature chunk took %.0f s (> %.0f s threshold): "
-                "device transport looks degraded; falling back to the host "
-                "CPU backend for the remaining chunks", took, self.slow_s)
+                "two consecutive device feature chunks exceeded the %.0f s "
+                "threshold (last: %.0f s): device transport looks degraded; "
+                "falling back to the host CPU backend for the remaining "
+                "chunks", self.slow_s, took)
             self.host_fallback = True
         return out
 

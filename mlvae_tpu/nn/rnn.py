@@ -53,10 +53,11 @@ PALLAS_LSTM_DATA_AXIS = "data"
 # 19.9k → 20.8k utt-sec/sec (+4.5%) — while the f32 semifused arm measured
 # slightly SLOWER than the hoisted projection (3.14 → 3.23 ms/layer), so
 # the default is tri-state "auto" = fused for bf16 streams only.
-# MLVAE_PALLAS_FUSED=1 forces both dtypes on, =0 forces off.
-import os as _os
-PALLAS_LSTM_FUSED = {"1": True, "0": False}.get(
-    _os.environ.get("MLVAE_PALLAS_FUSED", "auto"), "auto")
+# MLVAE_PALLAS_FUSED=1 forces both dtypes on, =0 forces off; any other
+# value besides "auto" raises (a silently-misparsed A/B flag invalidates
+# the comparison).
+from mlvae_tpu.utils.envflags import env_tristate
+PALLAS_LSTM_FUSED = env_tristate("MLVAE_PALLAS_FUSED", "auto")
 
 
 def _fused_requested(dtype) -> bool:

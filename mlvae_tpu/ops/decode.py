@@ -43,8 +43,8 @@ NEG_INF = -1e30  # avoids -inf arithmetic inside scans
 # vs the scan path on-device, decode-only 1.33 → 0.93 ms at B=128 (1.42×).
 # Default ON for TPU batches aligned to the kernel's 8-row sublane tile;
 # MLVAE_PALLAS_DECODE=0 opts out (the scan path stays the parity oracle).
-import os as _os
-PALLAS_DECODE_ENABLED = _os.environ.get("MLVAE_PALLAS_DECODE", "1") == "1"
+from mlvae_tpu.utils.envflags import env_bool
+PALLAS_DECODE_ENABLED = env_bool("MLVAE_PALLAS_DECODE", True)
 
 
 def clamped_log(x):

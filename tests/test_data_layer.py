@@ -321,9 +321,10 @@ def test_dynamic_item_single_provides_generator():
 
 
 class TestDegradedDeviceFallback:
-    """data_io.DegradedDeviceFallback: permanent host-CPU fallback once a
-    chunk's device round trip exceeds the threshold (the degraded-tunnel
-    windows documented in docs/PERF.md)."""
+    """data_io.DegradedDeviceFallback: permanent host-CPU fallback once two
+    consecutive post-compile chunks' device round trips exceed the threshold
+    (the degraded-tunnel windows documented in docs/PERF.md).  The first
+    call carries jit compilation and never counts."""
 
     def _runner(self, monkeypatch, slow_s, backend="tpu"):
         import jax
@@ -344,15 +345,37 @@ class TestDegradedDeviceFallback:
         assert not r.host_fallback
         assert calls == [None]  # no default_device override applied
 
-    def test_slow_call_trips_permanent_fallback(self, monkeypatch):
+    def test_slow_calls_trip_permanent_fallback(self, monkeypatch):
         r, calls = self._runner(monkeypatch, slow_s=1e-9)
         x = np.ones((4,), np.float32)
-        np.testing.assert_allclose(r(x), 2 * x)   # this call trips it
+        np.testing.assert_allclose(r(x), 2 * x)   # call 1: compile-bearing
+        assert not r.host_fallback                # ...never counts
+        np.testing.assert_allclose(r(x), 2 * x)   # slow call 1 of 2
+        assert not r.host_fallback
+        np.testing.assert_allclose(r(x), 2 * x)   # slow call 2 of 2: trips
         assert r.host_fallback
         np.testing.assert_allclose(r(x), 2 * x)   # runs under CPU default
         assert calls[0] is None
-        assert calls[1] is not None               # cpu device pinned
-        assert calls[1].platform == "cpu"
+        assert calls[1] is None
+        assert calls[2] is None
+        assert calls[3] is not None               # cpu device pinned
+        assert calls[3].platform == "cpu"
+
+    def test_one_off_stall_recovers(self, monkeypatch):
+        # a single slow post-compile call followed by a fast one must NOT
+        # trip (requires the environment knob to distinguish fast/slow: use
+        # a mutable threshold on the instance)
+        r, _ = self._runner(monkeypatch, slow_s=1e-9)
+        x = np.ones((4,), np.float32)
+        r(x)                       # compile-bearing
+        r(x)                       # slow 1 of 2
+        r.slow_s = 1e9             # next call measures fast
+        r(x)
+        assert not r.host_fallback
+        assert r._consecutive_slow == 0
+        r.slow_s = 1e-9            # a later isolated slow call: still 1 of 2
+        r(x)
+        assert not r.host_fallback
 
     def test_threshold_zero_disables(self, monkeypatch):
         r, _ = self._runner(monkeypatch, slow_s=0)

@@ -24,11 +24,19 @@ def workdir(tmp_path_factory):
     os.chdir(old)
 
 
+@pytest.mark.filterwarnings("error:.*use 1 as default.*")
 @pytest.mark.parametrize("recipe,key_kind", RECIPES)
 def test_harness_recipe_smoke(workdir, recipe, key_kind):
+    from conftest import explicit_default_weights
+
     from mlvae_tpu.cli import train as train_cli
 
     model_yaml = REPO / f"mlvae_tpu/models/{recipe}/model.yaml"
+    # explicit reference-default weights: exercise the real weighting path,
+    # not the "use 1 as default" warning fallback (VERDICT r2 item 6)
+    weights = explicit_default_weights(model_yaml)
+    overrides = ("{model: {n_epochs: 1, %s}}" % weights
+                 if weights else "{model: {n_epochs: 1}}")
     args = [
         str(REPO / "config/run.yaml"),
         "--dataset", "SynAudioMNIST",
@@ -37,7 +45,7 @@ def test_harness_recipe_smoke(workdir, recipe, key_kind):
         "--model_class", recipe,
         "--model_name", f"{recipe}_smoke",
         "--model", f"!include:{model_yaml}",
-        "--extra_overrides", "{model: {n_epochs: 1}}",
+        "--extra_overrides", overrides,
         "--debug", "--debug_batches", "1",
     ]
     model = train_cli.main(args)

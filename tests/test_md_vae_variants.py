@@ -19,7 +19,13 @@ def workdir(tmp_path_factory):
 
 
 def _args(recipe, n_epochs=2, batches=1):
+    from conftest import explicit_default_weights
+
     model_yaml = REPO / f"mlvae_tpu/models/{recipe}/model.yaml"
+    # pin the reference-defaulted loss weights explicitly so the smoke runs
+    # exercise the real weighting path (VERDICT r2 item 6), not the
+    # "use 1 as default" warning fallback
+    weights = explicit_default_weights(model_yaml)
     return [
         str(REPO / "config/run.yaml"),
         "--dataset", "SynAudioMNIST",
@@ -28,11 +34,14 @@ def _args(recipe, n_epochs=2, batches=1):
         "--model_class", recipe,
         "--model_name", f"{recipe}_smoke",
         "--model", f"!include:{model_yaml}",
-        "--extra_overrides", "{model: {n_epochs: %d}}" % n_epochs,
+        "--extra_overrides",
+        "{model: {n_epochs: %d, %s}}" % (n_epochs, weights)
+        if weights else "{model: {n_epochs: %d}}" % n_epochs,
         "--debug", "--debug_batches", str(batches),
     ]
 
 
+@pytest.mark.filterwarnings("error:.*use 1 as default.*")
 @pytest.mark.parametrize("recipe,n_epochs", [
     ("MD_VAE_sfl", 2),       # covers B_DETECTOR-like + VAE epochs of cycle
     ("MD_VAE_joint", 1),

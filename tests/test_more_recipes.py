@@ -5,6 +5,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 REPO = Path(__file__).resolve().parent.parent
@@ -86,6 +87,47 @@ def test_recipe_smoke(workdir, recipe):
     train_cli.main(args)
     log = (workdir / f"results/{recipe}_smoke/train_log.txt").read_text()
     assert "loss" in log
+
+
+def test_hmm_evaluate_recalls_newest_on_absent_key(workdir):
+    """ADVICE r2 (high): HMM_DNN_ALI selects on ``max_key: flvl_md.F1``, a
+    metric the recipe never emits.  evaluate() must fall back to the newest
+    REAL checkpoint (with a loud warning) instead of silently scoring
+    freshly-initialized weights.  Runs after test_recipe_smoke's training."""
+    import warnings as _warnings
+
+    from mlvae_tpu.cli import test as test_cli
+
+    ckpt_dir = workdir / "results/HMM_DNN_ALI_smoke/checkpoints"
+    assert ckpt_dir.exists() and list(ckpt_dir.iterdir())
+
+    model_yaml = REPO / "mlvae_tpu/models/HMM_DNN_ALI/model.yaml"
+    args = [
+        str(REPO / "config/run.yaml"),
+        "--dataset", "SynAudioMNIST",
+        "--language", "digits",
+        "--n_phonemes", "12",
+        "--model_class", "HMM_DNN_ALI",
+        "--model_name", "HMM_DNN_ALI_smoke",
+        "--model", f"!include:{model_yaml}",
+        "--debug", "--debug_batches", "1",
+    ]
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        model = test_cli.main(args)
+    assert any("falling back to the newest checkpoint" in str(w.message)
+               for w in caught), [str(w.message) for w in caught]
+
+    # the recalled params must be the TRAINED ones, not a fresh init: a
+    # fresh build from the same yaml seeds differently-updated weights
+    from mlvae_tpu.training.checkpointer import Checkpointer
+    ck = Checkpointer(ckpt_dir)
+    newest = ck.find_checkpoint()
+    restored = ck.load_checkpoint(newest, {"params": model.params})
+    a = jax.tree_util.tree_leaves(model.params)
+    b = jax.tree_util.tree_leaves(restored["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_hmm_viterbi_realign_during_train(workdir):

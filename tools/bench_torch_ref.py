@@ -116,9 +116,11 @@ def synth_batch(seed: int = 0):
     return feats, feat_lens, cnncl, cnncl_lens, boundary, prior
 
 
-def build_reference_model():
+def build_reference_model(dropout: float = 0.15):
     """Instantiate the reference modules with the exact sizes from
-    /root/reference/src/models/MD_VAE/model.yaml."""
+    /root/reference/src/models/MD_VAE/model.yaml.  ``dropout=0`` is used by
+    the ELBO-curve A/B (tools/elbo_curve_ab.py), where sampling — incl.
+    dropout masks — is pinned deterministic on both frameworks."""
     from modules.fc_block import FCBlock
     from modules.phoneme_recognizer import PhonemeRecognizer
     from modules.boundary_detector import BoundaryDetector
@@ -134,10 +136,10 @@ def build_reference_model():
         "boundary_detector": BoundaryDetector(
             INPUT_SIZE, 512, 2, [512, 128, 128, 1]),
         "concat_fc": FCBlock([64 + 32, 128, 128], end_activation=True),
-        "rnn": torch.nn.LSTM(128, 512, 2, batch_first=True, dropout=0.15),
+        "rnn": torch.nn.LSTM(128, 512, 2, batch_first=True, dropout=dropout),
         "pi_fc": FCBlock([512, 128, 64, 2]),
         "encoder": HierarchicalVAE([512, 64, 64], 32, 3),
-        "decoder": Decoder(32, 512, 2, 0.15, [1024, 64, 64, INPUT_SIZE]),
+        "decoder": Decoder(32, 512, 2, dropout, [1024, 64, 64, INPUT_SIZE]),
     })
     return modules
 
@@ -153,8 +155,11 @@ LOSS_WEIGHTS = {  # MD_VAE/model.yaml:157-159 (+ implicit 1.0 defaults)
 KLD_N_SAMPLES = 2249  # md_model.py:199
 
 
-def compute_forward(modules, batch, decode_fn):
-    """Reference MD_VAE.compute_forward, target=VAE (model.py:61-160)."""
+def compute_forward(modules, batch, decode_fn, det_pi: bool = False):
+    """Reference MD_VAE.compute_forward, target=VAE (model.py:61-160).
+
+    ``det_pi=True`` takes the reference's own EVAL branch for the pi sample
+    (argmax, model.py:126) — the determinization used by the curve A/B."""
     from torch.distributions import Categorical
     from torch.nn.utils.rnn import pad_sequence
 
@@ -184,14 +189,17 @@ def compute_forward(modules, batch, decode_fn):
     predictions["pi_logits"] = pi_logits
 
     dist = Categorical(logits=pi_logits)
-    sampled_pi = dist.sample().float()
+    if det_pi:
+        sampled_pi = torch.argmax(pi_logits, dim=-1).float()
+    else:
+        sampled_pi = dist.sample().float()
     sampled_pi = torch.stack([1 - sampled_pi, sampled_pi], dim=2)
     predictions["sampled_pi"] = sampled_pi
 
     # in-forward decode -> pi self-training labels (model.py:133-150)
     _, flvl_md_seqs, _ = decode_fn(
         predictions,
-        utt_ids=[f"u{i}" for i in range(B)],
+        utt_ids=[f"u{i}" for i in range(feats.shape[0])],
         feat_lens=feat_lens,
         plvl_cnnl_seqs=cnncl,
         plvl_cnnl_seq_lens=cnncl_lens,

@@ -266,6 +266,7 @@ def main():
         "n_params": n_params,
         "hbm_gbps": V5E_HBM_GBPS,
     }
+    out = Path(__file__).resolve().parent.parent / "docs" / "roofline.json"
     if args.measure:
         xla_bytes, flops, step_ms = tpu_measure()
         frac = t_roof_ms / step_ms
@@ -280,7 +281,21 @@ def main():
             "measured_step_ms": round(step_ms, 2),
             "roofline_fraction": round(frac, 3),
         })
-    out = Path(__file__).resolve().parent.parent / "docs" / "roofline.json"
+    elif out.exists():
+        # A run without --measure must not drop the previously MEASURED
+        # fields (they require the TPU tunnel to regenerate): carry them
+        # over, refreshing only the analytic side.
+        try:
+            prev = json.loads(out.read_text())
+        except json.JSONDecodeError:
+            prev = {}
+        for key in ("xla_bytes_accessed", "xla_flops", "measured_step_ms"):
+            if key in prev:
+                result[key] = prev[key]
+        if "measured_step_ms" in result:
+            # fraction re-derived against the REFRESHED analytic floor
+            result["roofline_fraction"] = round(
+                t_roof_ms / result["measured_step_ms"], 3)
     out.write_text(json.dumps(result, indent=2) + "\n")
 
 
