@@ -35,3 +35,19 @@ def test_pallas_fbank_matches_golden():
                      (np.asarray(got[1, : g2.shape[0]]), g2)]:
         rel = np.max(np.abs(got_i - g) / np.maximum(np.abs(g), 1e-3))
         assert rel < 1e-4, rel
+
+
+def test_hardware_ab_artifact_recorded():
+    """The round-3 hardware A/B (tools/bench_fbank_pallas.py, real v5e) must
+    stay recorded and parity-clean: Pallas vs fused-XLA bit-tight on-device.
+    The timing verdict (a wash at prep shapes) is documented in PERF.md's
+    rejected-experiments list."""
+    import json
+    from pathlib import Path
+
+    art = Path(__file__).resolve().parent.parent / "docs" / "fbank_pallas_ab.json"
+    assert art.exists(), "run tools/bench_fbank_pallas.py on the TPU"
+    rec = json.loads(art.read_text())
+    assert rec["platform"] == "tpu"
+    assert rec["pallas_vs_xla_max_rel"] < 1e-4
+    assert rec["shape"]["B"] == 256  # the real prep dispatch shape
