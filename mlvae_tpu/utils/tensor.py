@@ -52,9 +52,22 @@ def apply_lens_to_loss(loss, rel_lens, reduction: str = "mean"):
     (``data_utils.py:67-104``).
 
     loss: (B, T) or (B, T, C...); rel_lens: (B,).
+
+    The mask threshold is the UNROUNDED fractional length — speechbrain's
+    ``length_to_mask(lens * T)`` keeps float lengths, so frame t is valid
+    iff ``t < rel_len * T`` (reference ``data_utils.py:86-92``).  This
+    deliberately differs from the rounding convention used by
+    decode/undo-padding (``decode_utils.py:407-409``, ``data_utils.py:26``,
+    our ``abs_lengths``): a sample whose fractional length rounds DOWN
+    still counts its ceil frame in the loss denominator.  Surfaced by the
+    ELBO-curve A/B vs the reference's own modules
+    (``tools/elbo_curve_ab.py``): rounding here gave a constant ~2e-3
+    offset on every masked loss.
     """
     T = loss.shape[1]
-    mask = length_mask(rel_lens, T, dtype=loss.dtype)  # (B, T)
+    idx = jnp.arange(T)[None, :]
+    thresh = jnp.asarray(rel_lens)[:, None].astype(jnp.float32) * T
+    mask = (idx < thresh).astype(loss.dtype)  # (B, T)
     while mask.ndim < loss.ndim:
         mask = mask[..., None]
     mask = jnp.broadcast_to(mask, loss.shape)

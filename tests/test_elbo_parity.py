@@ -121,9 +121,10 @@ def _torch_elbo(params, feats, lens):
     recon_el = tdec(mean, x)
 
     def masked_mean(loss):
+        # unrounded fractional threshold, like reference data_utils.py:86-92
         Tm = loss.shape[1]
         mask = (torch.arange(Tm)[None, :]
-                < torch.round(torch.from_numpy(lens) * Tm)[:, None])
+                < (torch.from_numpy(lens) * Tm)[:, None])
         mask = mask[..., None].float().expand_as(loss)
         return (loss * mask).sum() / mask.sum()
 
