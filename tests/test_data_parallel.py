@@ -2,6 +2,7 @@
 under a sharded batch must produce the same loss and parameter update as
 single-device execution (XLA inserts the gradient psum; the math must not
 change)."""
+from conftest import explicit_default_weights
 import numpy as np
 import pytest
 
@@ -75,13 +76,14 @@ def test_dp_fit_checkpoint_test_roundtrip(tmp_path, monkeypatch):
 
     REPO = Path(__file__).resolve().parent.parent
     model_yaml = REPO / "mlvae_tpu/models/MD_VAE/model.yaml"
-    small = ("{model: {n_epochs: 3, feat_fc_size: 8, phn_recog_fc_size: 8, "
+    small = ("{model: {n_epochs: 3, %s, feat_fc_size: 8, phn_recog_fc_size: 8, "
              "concat_fc_size: 8, rnn_size: 8, vae_unit_size: 8, "
              "latent_size: 4, dec_rnn_size: 8}, "
              # batch 5 over 8 devices: every batch replica-padded 5 -> 8
              "train_dataloader_opts: {batch_size: 5}, "
              "valid_dataloader_opts: {batch_size: 5}, "
-             "test_dataloader_opts: {batch_size: 5}}")
+             "test_dataloader_opts: {batch_size: 5}}"
+             % explicit_default_weights(model_yaml))
     args = [
         str(REPO / "config/run.yaml"),
         "--dataset", "SynAudioMNIST",

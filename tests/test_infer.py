@@ -1,4 +1,5 @@
 """Single-utterance inference path over a trained MD_VAE checkpoint."""
+from conftest import explicit_default_weights
 from pathlib import Path
 
 import pytest
@@ -20,7 +21,8 @@ def test_infer_single_wav(tmp_path, monkeypatch):
         "--model_class", "MD_VAE",
         "--model_name", "infer_smoke",
         "--model", f"!include:{model_yaml}",
-        "--extra_overrides", "{model: {n_epochs: 3}}",
+        "--extra_overrides",
+        "{model: {n_epochs: 3, %s}}" % explicit_default_weights(model_yaml),
         "--debug", "--debug_batches", "1",
     ]
     train_cli.main(args)

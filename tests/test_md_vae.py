@@ -16,7 +16,10 @@ def workdir(tmp_path, monkeypatch):
 
 
 def _args(n_epochs=3, extra=""):
+    from conftest import explicit_default_weights
+
     model_yaml = REPO / "mlvae_tpu/models/MD_VAE/model.yaml"
+    weights = explicit_default_weights(model_yaml)
     return [
         str(REPO / "config/run.yaml"),
         "--dataset", "SynAudioMNIST",
@@ -26,7 +29,7 @@ def _args(n_epochs=3, extra=""):
         "--model_name", "mdvae_smoke",
         "--model", f"!include:{model_yaml}",
         "--extra_overrides",
-        "{model: {n_epochs: %d}}" % n_epochs,
+        "{model: {n_epochs: %d, %s}}" % (n_epochs, weights),
         "--debug", "--debug_batches", "2",
     ]
 

@@ -12,7 +12,10 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _args(n_epochs):
+    from conftest import explicit_default_weights
+
     model_yaml = REPO / "mlvae_tpu/models/test_vanilla_vae/model.yaml"
+    weights = explicit_default_weights(model_yaml)
     return [
         str(REPO / "config/run.yaml"),
         "--dataset", "SynAudioMNIST",
@@ -21,7 +24,8 @@ def _args(n_epochs):
         "--model_class", "test_vanilla_vae",
         "--model_name", "resume_test",
         "--model", f"!include:{model_yaml}",
-        "--extra_overrides", "{model: {n_epochs: %d}}" % n_epochs,
+        "--extra_overrides",
+        "{model: {n_epochs: %d, %s}}" % (n_epochs, weights),
         "--debug", "--debug_batches", "1",
     ]
 

@@ -1,5 +1,6 @@
 """Smoke tests for the wav2vec2 recipe family, including the
 saved-posteriors round trip into MD_VAE_sfl_saved_phn_recog."""
+from conftest import explicit_default_weights
 import os
 import pickle
 from pathlib import Path
@@ -25,7 +26,9 @@ def _args(recipe, n_epochs=1, extra_model=""):
         # shrink the (default wav2vec2-large) encoder for CPU smoke runs;
         # wav2vec2_size flows into both the encoder and the FC projections
         extra_model += ", wav2vec2_size: 64"
-    overrides = "{model: {n_epochs: %d%s}}" % (n_epochs, extra_model)
+    weights = explicit_default_weights(model_yaml)
+    overrides = "{model: {n_epochs: %d, %s%s}}" % (n_epochs, weights,
+                                                   extra_model)
     return [
         str(REPO / "config/run.yaml"),
         "--dataset", "SynAudioMNIST",

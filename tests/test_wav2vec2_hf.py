@@ -9,6 +9,7 @@ snapshot, (b) adopt its config, (c) convert its weights, and (d) reproduce
 (group-norm extractor, post-LN encoder) and large-lv60-style (layer-norm
 extractor, conv biases, pre-LN "stable layer norm" encoder).
 """
+from conftest import explicit_default_weights
 import numpy as np
 import pytest
 
@@ -201,8 +202,10 @@ def test_pretrained_snapshot_through_recipe_fit(tmp_path, monkeypatch):
     hf = _make_hf(snap, stable=True)
     expected = params_from_hf_model(hf)
 
-    overrides = ("{model: {n_epochs: 1, wav2vec2_size: 32, "
-                 "wav2vec2: {source: %s}}}" % snap)
+    weights = explicit_default_weights(
+        REPO / "mlvae_tpu/models/w2v_MD_VAE/model.yaml")
+    overrides = ("{model: {n_epochs: 1, wav2vec2_size: 32, %s, "
+                 "wav2vec2: {source: %s}}}" % (weights, snap))
     model = train_cli.main([
         str(REPO / "config/run.yaml"),
         "--dataset", "SynAudioMNIST",
