@@ -26,6 +26,8 @@ RUN_OPT_KEYS = {
     "tensor_parallel": int,
     "profile": bool,
     "scan_epoch": bool,
+    "scan_chunk": int,
+    "allow_stale_ckpt": bool,
     "cache_device_batches": bool,
     "device_batch_cache_mb": int,
     "compile_cache": bool,

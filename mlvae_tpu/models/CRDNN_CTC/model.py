@@ -35,6 +35,7 @@ class SBModel(MDModel):
     USED_BATCH_KEYS = {
         "feat", "gt_phn_seq", "gt_cnncl_seq", "gt_boundary_seq",
     }
+    EVAL_PRED_KEYS = frozenset({"pout"})
     CTC_TARGET_KEY = "gt_phn_seq"  # cnncl variant overrides
 
     def on_stage_start(self, stage, epoch=None):

@@ -31,6 +31,7 @@ class SBModel(MDModel):
     USED_BATCH_KEYS = {
         "feat", "aug_feat", "flvl_gt_md_lbl_seq", "aug_flvl_gt_md_lbl_seq",
     }
+    EVAL_PRED_KEYS = frozenset({"out"})
 
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)

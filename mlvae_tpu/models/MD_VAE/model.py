@@ -57,6 +57,12 @@ class SBModel(MDModel):
         "feat", "gt_cnncl_seq", "fa_boundary_seq",
         "gt_boundary_seq", "plvl_gt_md_lbl_seq", "prior",
     }
+    # evaluate_predictions/save_md_result read only the decoded MD
+    # sequences (model.py evaluate path, reference MD_VAE/model.py:187-218)
+    EVAL_PRED_KEYS = frozenset({
+        "decoded_boundary_seq", "decoded_plvl_md_lbl_seq",
+        "decoded_t_lens", "decoded_l_lens",
+    })
 
     def used_batch_keys(self):
         keys = set(self.USED_BATCH_KEYS)

@@ -15,6 +15,7 @@ from mlvae_tpu.utils.tensor import apply_lens_to_loss
 
 class SBModel(MDModel):
     USED_BATCH_KEYS = {"feat"}
+    EVAL_PRED_KEYS = frozenset()  # losses only; no host-side eval hooks
 
     def compute_forward(self, params, states, batch, stage, rng, epoch):
         feats, feat_lens = batch["feat"]

@@ -14,6 +14,7 @@ from mlvae_tpu.utils.tensor import apply_lens_to_loss, undo_padding
 class SBModel(MDModel):
     USED_BATCH_KEYS = {"feat", "gt_cnncl_seq", "fa_boundary_seq",
                        "flvl_gt_cnncl_seq", "gt_boundary_seq"}
+    EVAL_PRED_KEYS = frozenset({"out"})
 
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)

@@ -16,6 +16,7 @@ from mlvae_tpu.utils.tensor import apply_lens_to_loss
 
 class SBModel(MDModel):
     USED_BATCH_KEYS = {"feat"}
+    EVAL_PRED_KEYS = frozenset()  # losses only; no host-side eval hooks
 
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)

@@ -19,6 +19,7 @@ from mlvae_tpu.utils.tensor import apply_lens_to_loss, undo_padding
 
 class SBModel(W2VMixin, MDModel):
     USED_BATCH_KEYS = {"wav", "feat", "flvl_gt_md_lbl_seq"}
+    EVAL_PRED_KEYS = frozenset({"logits"})
 
     def on_stage_start(self, stage, epoch=None):
         super().on_stage_start(stage, epoch)

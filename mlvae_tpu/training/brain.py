@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import logging
 import time
+from collections import deque
 from enum import Enum, auto
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -161,6 +162,17 @@ class Brain:
         self.scan_epoch = bool(self.run_opts.get("scan_epoch", False))
         self._scan_stack_cache: Dict[Any, Any] = {}
         self._scan_stack_cache_bytes = 0
+        # Upper bound on batches per scan dispatch.  Scanned epochs stream
+        # chunks of at most this many same-shape batches: upload + stack one
+        # chunk, dispatch it, release the references.  Bounds peak HBM to
+        # O(chunk) batches instead of O(epoch) — the r3b w2v-scale quality
+        # runs (317M-param trunk) died RESOURCE_EXHAUSTED because the whole
+        # epoch's device batches were resident alongside params + Adam state
+        # + pinned async-checkpoint snapshots.
+        self.scan_chunk = int(self.run_opts.get("scan_chunk", 32) or 32)
+        self.allow_stale_ckpt = bool(
+            self.run_opts.get("allow_stale_ckpt", False)
+        )
 
     # ------------------------------------------------------------------
     # recipe contract (pure functions)
@@ -325,11 +337,30 @@ class Brain:
 
         return jax.jit(step)
 
+    # Prediction keys the host-side ``evaluate_predictions`` consumes; the
+    # jitted eval step returns ONLY these (None = all, the safe default).
+    # Everything else — recon means, per-frame logits, branch outputs — stays
+    # on device, so the per-batch device->host fetch carries a few small
+    # integer sequences instead of the full forward tree.  Over the remote
+    # device tunnel that transfer dominated TEST eval wall-clock (r3: 525
+    # utts in 4m42s while training sustained ~1000 utt-sec/sec).
+    EVAL_PRED_KEYS: Optional[frozenset] = None
+
+    def eval_pred_keys(self, stage: Stage) -> Optional[frozenset]:
+        """Keys of ``compute_forward``'s prediction dict that must reach the
+        host for ``evaluate_predictions`` / ``save_md_result``.  Recipes
+        override via ``EVAL_PRED_KEYS``; None returns the full tree."""
+        return self.EVAL_PRED_KEYS
+
     def _make_eval_step(self, stage: Stage):
+        keys = self.eval_pred_keys(stage)
+
         def step(params, states, rng, batch, epoch):
             preds, _ = self.compute_forward(params, states, batch, stage, rng,
                                             epoch)
             loss, losses = self.compute_objectives(preds, batch, stage)
+            if keys is not None and isinstance(preds, dict):
+                preds = {k: v for k, v in preds.items() if k in keys}
             return preds, loss, losses
 
         return jax.jit(step)
@@ -475,10 +506,43 @@ class Brain:
                     st, is_leaf=is_param_shaped)
         return out
 
+    def _autoscale_cache_budget(self):
+        """Shrink the device-batch / scan-stack cache budget when the model
+        itself needs most of HBM.  Training keeps ~7x param bytes resident
+        (params, grads, two Adam moments, a bf16 cast, up to two pinned
+        async-checkpoint snapshots); the default 2 GiB x2 cache budget on
+        top of a 317M-param w2v trunk is what exhausted the chip in the r3b
+        quality runs.  No-op when the backend exposes no memory stats (CPU
+        test meshes) or the model is small."""
+        if self.params is None:
+            return
+        param_bytes = sum(
+            int(np.prod(np.asarray(leaf).shape)) * leaf.dtype.itemsize
+            for leaf in jax.tree_util.tree_leaves(self.params)
+            if hasattr(leaf, "dtype")
+        )
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm = int(stats.get("bytes_limit", 0))
+        except Exception:
+            hbm = 0
+        if not hbm:
+            return
+        reserve = 7 * param_bytes + 2 * 1024 ** 3  # + activation headroom
+        budget = max(0, (hbm - reserve) // 2)  # two caches share the limit
+        if budget < self.device_batch_cache_limit:
+            logger.info(
+                "device batch cache budget %d -> %d MiB "
+                "(params %d MiB, HBM %d MiB)",
+                self.device_batch_cache_limit >> 20, budget >> 20,
+                param_bytes >> 20, hbm >> 20)
+            self.device_batch_cache_limit = int(budget)
+
     def on_fit_start(self):
         if self.params is None:
             self.init_params()
         self.init_optimizers()
+        self._autoscale_cache_budget()
         if self.mesh is not None:
             from mlvae_tpu.parallel.tp import shard_tree
             specs = self._param_partition_specs(self.params)
@@ -523,6 +587,44 @@ class Brain:
                 if counter is not None and "epoch" in ckpt.meta:
                     counter.current = int(ckpt.meta["epoch"])
                 logger.info("recovered checkpoint %s", ckpt.path)
+                self._check_recovered_ckpt(ckpt, max_key, min_key)
+
+    # Recipes whose reference yaml selects on a metric the recipe never
+    # emits (so key-less fallback is the recipe's NORMAL evaluate path, not
+    # a failure) opt out of the stale-checkpoint guard below, e.g.
+    # HMM_DNN_ALI (reference models/HMM_DNN_ALI/model.yaml:13).
+    ALLOW_KEYLESS_CKPT = False
+
+    def _check_recovered_ckpt(self, ckpt, max_key, min_key):
+        """Refuse to evaluate from a checkpoint that evidences a failed or
+        barely-started training run, so a crashed multi-epoch train can't
+        quietly feed TEST metrics or downstream consumers (r3b: a w2v OOM at
+        epoch 1 fed a near-untrained recognizer's posteriors to the
+        saved-phn-recog pipeline with every exit code 0).  Matches the
+        reference's evaluate-from-best semantics (``test.py:19-24``) where a
+        meaningful best checkpoint is assumed to exist.  Override with the
+        ``allow_stale_ckpt`` run option.  Debug mode is exempt: ``--debug``
+        deliberately truncates training below the configured epochs."""
+        if self.allow_stale_ckpt or self.debug:
+            return
+        limit = getattr(self.hparams.get("epoch_counter"), "limit", None)
+        epoch = ckpt.meta.get("epoch")
+        if (limit is not None and limit > 1
+                and epoch is not None and int(epoch) <= 1):
+            raise RuntimeError(
+                f"evaluate would use checkpoint {ckpt.path.name} from epoch "
+                f"{epoch} of a {limit}-epoch config — the training run that "
+                f"produced it almost certainly failed. Re-run training, or "
+                f"pass --allow_stale_ckpt to evaluate it anyway.")
+        if ((max_key or min_key)
+                and getattr(self.checkpointer, "last_selection_fell_back",
+                            False)
+                and not self.ALLOW_KEYLESS_CKPT):
+            raise RuntimeError(
+                f"no checkpoint records the selection key "
+                f"{max_key or min_key!r}; evaluating the newest checkpoint "
+                f"instead could silently score the wrong model. Pass "
+                f"--allow_stale_ckpt to accept the newest checkpoint.")
 
     def fit_batch(self, batch: PaddedBatch) -> float:
         batch = self.prepare_batch(batch)
@@ -590,33 +692,21 @@ class Brain:
         device-batch cache (recipes that inject per-batch host state turn
         that off and fall back to the per-batch loop).
 
+        Streams the epoch in chunks of at most ``scan_chunk`` same-shape
+        batches: each chunk is uploaded, stacked, dispatched, and its host
+        references dropped before the next chunk is built, so peak HBM is
+        O(chunk) batches + the in-flight pipeline instead of O(epoch).  A
+        depth-2 dispatch pipeline keeps the device busy while bounding how
+        many un-executed chunk inputs the runtime can pin.
+
         Returns (mean train loss, utterance-seconds processed).
         """
-        devs = []
         total_frames = 0
-        for batch in train_loader:
-            prepared = self.prepare_batch(batch)
-            dev = self._cached_device_batch(prepared)
-            feats = dev.get("feat", dev.get("kaldi_feat"))
-            if feats is not None:
-                self.ensure_states(int(feats[0].shape[-1]))
-            feats_h, lens_h = batch["feat"]
-            total_frames += int(
-                np.round(np.asarray(lens_h) * feats_h.shape[1]).sum()
-            )
-            devs.append((tuple(batch.ids), dev))
-
         # same epoch source as fit_batch (the counter, not the loop var)
         epoch_arr = jnp.asarray(self.current_epoch(), jnp.int32)
         pending = []  # (per-run loss array, per-run losses dict)
-        i = 0
-        while i < len(devs):
-            sig = self._batch_signature(devs[i][1])
-            j = i
-            while (j + 1 < len(devs)
-                   and self._batch_signature(devs[j + 1][1]) == sig):
-                j += 1
-            run = devs[i:j + 1]
+
+        def dispatch(run, sig):
             K = len(run)
             # reproduce the per-batch loop's rng sequence exactly
             keys = []
@@ -649,9 +739,33 @@ class Brain:
             )
             self.step += K
             pending.append((ls, lss))
-            i = j + 1
+            # bound the dispatch queue: wait for the chunk two back before
+            # enqueuing more, so at most ~3 chunks' inputs are live in HBM
+            if len(pending) >= 3:
+                jax.block_until_ready(pending[-3][0])
 
-        # ONE host sync for the whole epoch
+        run: List = []
+        run_sig = None
+        for batch in train_loader:
+            prepared = self.prepare_batch(batch)
+            dev = self._cached_device_batch(prepared)
+            feats = dev.get("feat", dev.get("kaldi_feat"))
+            if feats is not None:
+                self.ensure_states(int(feats[0].shape[-1]))
+            feats_h, lens_h = batch["feat"]
+            total_frames += int(
+                np.round(np.asarray(lens_h) * feats_h.shape[1]).sum()
+            )
+            sig = self._batch_signature(dev)
+            if run and (sig != run_sig or len(run) >= self.scan_chunk):
+                dispatch(run, run_sig)
+                run = []
+            run_sig = sig
+            run.append((tuple(batch.ids), dev))
+        if run:
+            dispatch(run, run_sig)
+
+        # ONE host sync for the whole epoch's (small) loss arrays
         pending = jax.device_get(pending)
         all_losses = []
         for ls, lss in pending:
@@ -668,30 +782,18 @@ class Brain:
 
     def _eval_epoch_scanned(self, loader, stage: Stage, limit=None):
         """One VALID/TEST epoch as ``lax.scan`` over stacked device batches:
-        one dispatch + one host fetch per same-shape run, then the host-side
-        metric hooks (``evaluate_predictions``) replay per batch on the
-        fetched rows.  Same rng sequence and order as the per-batch loop."""
-        devs = []
-        for i, batch in enumerate(loader):
-            prepared = self.prepare_batch(batch)
-            dev = self._cached_device_batch(prepared)
-            feats = dev.get("feat", dev.get("kaldi_feat"))
-            if feats is not None:
-                self.ensure_states(int(feats[0].shape[-1]))
-            devs.append((prepared, dev))
-            if limit is not None and i + 1 >= limit:
-                break
-
+        one dispatch + one host fetch per chunk of consecutive same-shape
+        batches (at most ``scan_chunk``), then the host-side metric hooks
+        (``evaluate_predictions``) replay per batch on the fetched rows.
+        Same rng sequence and order as the per-batch loop."""
         epoch_arr = jnp.asarray(self.current_epoch(), jnp.int32)
         losses_all = []
-        i = 0
-        while i < len(devs):
-            sig = self._batch_signature(devs[i][1])
-            j = i
-            while (j + 1 < len(devs)
-                   and self._batch_signature(devs[j + 1][1]) == sig):
-                j += 1
-            run = devs[i:j + 1]
+        # (host batches, in-flight device results) — chunk k's results are
+        # fetched and replayed on the host while chunk k+1 computes on
+        # device, overlapping tunnel transfer + metric loops with compute
+        inflight: deque = deque()
+
+        def dispatch(run, sig):
             K = len(run)
             keys = []
             for _ in range(K):
@@ -718,11 +820,14 @@ class Brain:
 
                 scan_fn = jax.jit(scan_fn)
                 self._compiled[ckey] = scan_fn
-            preds_s, loss_s, losses_s = jax.device_get(scan_fn(
-                self.params, self.states, rngs, stacked, epoch_arr
-            ))
-            for r in range(K):
-                host_batch = run[r][0]
+            res = scan_fn(self.params, self.states, rngs, stacked, epoch_arr)
+            inflight.append(([hb for hb, _ in run], res))
+
+        def drain():
+            host_batches, res = inflight.popleft()
+            preds_s, loss_s, losses_s = jax.device_get(res)
+            for r in range(len(host_batches)):
+                host_batch = host_batches[r]
                 self._batch_ids = list(host_batch["id"])
                 self._record_losses(
                     jax.tree_util.tree_map(lambda v: v[r], losses_s)
@@ -730,7 +835,29 @@ class Brain:
                 preds_r = jax.tree_util.tree_map(lambda v: v[r], preds_s)
                 self._dispatch_evaluate(preds_r, host_batch, stage)
                 losses_all.append(float(np.asarray(loss_s[r])))
-            i = j + 1
+
+        run: List = []
+        run_sig = None
+        for i, batch in enumerate(loader):
+            prepared = self.prepare_batch(batch)
+            dev = self._cached_device_batch(prepared)
+            feats = dev.get("feat", dev.get("kaldi_feat"))
+            if feats is not None:
+                self.ensure_states(int(feats[0].shape[-1]))
+            sig = self._batch_signature(dev)
+            if run and (sig != run_sig or len(run) >= self.scan_chunk):
+                dispatch(run, run_sig)
+                run = []
+                while len(inflight) > 1:
+                    drain()
+            run_sig = sig
+            run.append((prepared, dev))
+            if limit is not None and i + 1 >= limit:
+                break
+        if run:
+            dispatch(run, run_sig)
+        while inflight:
+            drain()
         return float(np.mean(losses_all)) if losses_all else 0.0
 
     def evaluate_batch(self, batch: PaddedBatch, stage: Stage) -> float:

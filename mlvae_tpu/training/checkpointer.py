@@ -147,6 +147,11 @@ class Checkpointer:
     def find_checkpoint(self, max_key: Optional[str] = None,
                         min_key: Optional[str] = None) -> Optional[Checkpoint]:
         self.flush()  # selection must see every pending async save
+        # set when a requested selection key was absent from every meta and
+        # the newest checkpoint was returned instead; callers (Brain.
+        # on_evaluate_start) escalate this to an error unless explicitly
+        # allowed, so a failed training run can't quietly feed evaluation
+        self.last_selection_fell_back = False
         ckpts = self.list_checkpoints()
         if not ckpts:
             return None
@@ -171,6 +176,7 @@ class Checkpointer:
             f"no checkpoint meta contains the selection key "
             f"{max_key or min_key!r}; falling back to the newest checkpoint "
             f"({newest.path.name})")
+        self.last_selection_fell_back = True
         return newest
 
     # -- save ---------------------------------------------------------------------

@@ -5,10 +5,18 @@ flow) unless documented as host-side helpers.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np
+
+# Experiment-only escape hatch for quality A/Bs: restore the pre-adb3b44
+# ROUNDED mask threshold in apply_lens_to_loss so the loss-mask parity fix
+# can be isolated against training-dynamics changes (VERDICT r3 item 1).
+# Never set in production; the fractional threshold is the reference-exact
+# semantics (speechbrain length_to_mask, reference data_utils.py:86-92).
+_LEGACY_ROUNDED_MASK = os.environ.get("MLVAE_LEGACY_ROUNDED_MASK", "") == "1"
 
 
 def abs_lengths(rel_lens, max_len: int):
@@ -67,6 +75,8 @@ def apply_lens_to_loss(loss, rel_lens, reduction: str = "mean"):
     T = loss.shape[1]
     idx = jnp.arange(T)[None, :]
     thresh = jnp.asarray(rel_lens)[:, None].astype(jnp.float32) * T
+    if _LEGACY_ROUNDED_MASK:  # A/B arm only (see module header)
+        thresh = jnp.round(thresh)
     mask = (idx < thresh).astype(loss.dtype)  # (B, T)
     while mask.ndim < loss.ndim:
         mask = mask[..., None]

@@ -8,6 +8,9 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
+from conftest import explicit_default_weights
+
+
 def test_ingest_cli(tmp_path):
     from mlvae_tpu.cli.ingest import ingest
     from mlvae_tpu.data.wav import read_wav, write_wav
@@ -37,7 +40,8 @@ def test_test_on_three_sets(tmp_path, monkeypatch):
         "--model_class", "test_vanilla_vae",
         "--model_name", "three_sets",
         "--model", f"!include:{model_yaml}",
-        "--extra_overrides", "{model: {n_epochs: 1}}",
+        "--extra_overrides",
+        "{model: {n_epochs: 1, %s}}" % explicit_default_weights(model_yaml),
         "--debug", "--debug_batches", "1",
     ]
     train_cli.main(args)
@@ -73,7 +77,8 @@ def test_saved_hyperparams_record_overrides(tmp_path, monkeypatch):
         "--model_class", "test_vanilla_vae",
         "--model_name", "ovr_record",
         "--model", f"!include:{model_yaml}",
-        "--extra_overrides", "{model: {n_epochs: 1}}",
+        "--extra_overrides",
+        "{model: {n_epochs: 1, %s}}" % explicit_default_weights(model_yaml),
         "--debug", "--debug_batches", "1",
     ])
     text = (tmp_path / "results/ovr_record/hyperparams.yaml").read_text()

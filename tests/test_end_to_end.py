@@ -15,6 +15,9 @@ def workdir(tmp_path, monkeypatch):
     return tmp_path
 
 
+from conftest import explicit_default_weights
+
+
 def _train_args(n_epochs=2):
     model_yaml = REPO / "mlvae_tpu/models/test_vanilla_vae/model.yaml"
     return [
@@ -25,7 +28,8 @@ def _train_args(n_epochs=2):
         "--model_class", "test_vanilla_vae",
         "--model_name", "tv_smoke",
         "--model", f"!include:{model_yaml}",
-        "--extra_overrides", "{model: {n_epochs: %d}}" % n_epochs,
+        "--extra_overrides",
+        "{model: {n_epochs: %d, %s}}" % (n_epochs, explicit_default_weights(model_yaml)),
         "--debug", "--debug_batches", "2",
     ]
 
@@ -92,7 +96,8 @@ def test_scan_epoch_with_async_ckpt(workdir):
         "--model_class", "test_vanilla_vae",
         "--model_name", "tv_scan_async",
         "--model", f"!include:{model_yaml}",
-        "--extra_overrides", "{model: {n_epochs: 3}}",
+        "--extra_overrides",
+        "{model: {n_epochs: 3, %s}}" % explicit_default_weights(model_yaml),
         "--scan_epoch", "True",
         "--async_ckpt", "True",
         "--noprogressbar", "True",

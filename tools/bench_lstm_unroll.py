@@ -42,7 +42,10 @@ def _loop_ms(kernel, gx, *weights, reps: int = 50, rounds: int = 3) -> float:
     def run(gx):
         def body(_, g):
             outs = kernel(g, *weights)
-            h = outs[0]
+            # optimization_barrier makes the data dependency opaque to XLA:
+            # a `h*0` arithmetic guard could be constant-folded by a future
+            # fast-math-style simplification, silently timing an empty loop
+            h = jax.lax.optimization_barrier(outs[0])
             return g + (h[0, 0, 0] * 0).astype(g.dtype)
 
         return jax.lax.fori_loop(0, reps, body, gx)
@@ -76,7 +79,7 @@ def bench(B: int, T: int, H: int, In: int, dtype, iters: int) -> dict:
     res["plain_1step_ms"] = _loop_ms(plain_base, gx, w_hh, reps=iters)
     print(f"# plain_1step {res['plain_1step_ms']:.3f} ms", file=sys.stderr, flush=True)
 
-    for K in (2, 4):
+    for K in (2, 4, 8):
         if T % K:
             continue
         fn = lambda g, w, K=K: lu.run_fwd_k(g, w, False, K)
@@ -97,7 +100,7 @@ def bench(B: int, T: int, H: int, In: int, dtype, iters: int) -> dict:
                                      reps=iters)
     print(f"# fused_1step {res['fused_1step_ms']:.3f} ms", file=sys.stderr, flush=True)
 
-    for K in (2, 4):
+    for K in (2, 4, 8):
         if T % K:
             continue
         fn = lambda x, wi, b, wh, K=K: lu.run_fwd_fused_k(
@@ -117,9 +120,11 @@ def bench(B: int, T: int, H: int, In: int, dtype, iters: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=30)
+    # default matches the recorded docs/lstm_unroll_ab.json run
+    ap.add_argument("--iters", type=int, default=50)
     args = ap.parse_args()
-    out = {"tool": "bench_lstm_unroll", "device": None, "results": []}
+    out = {"tool": "bench_lstm_unroll", "device": None,
+           "iters": args.iters, "results": []}
     try:
         out["device"] = str(jax.devices()[0])
         for dtype in (jnp.bfloat16, jnp.float32):
