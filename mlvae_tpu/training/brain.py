@@ -563,6 +563,7 @@ class Brain:
         pass
 
     def on_evaluate_start(self, max_key=None, min_key=None):
+        self._autoscale_cache_budget()
         if self.checkpointer is not None and self.params is not None:
             # restore params AND running states (e.g. input-normalization
             # statistics). The reference loses normalizer stats across

@@ -179,3 +179,47 @@ def test_keyless_recipe_optout_allows_fallback(tmp_path):
     model.ALLOW_KEYLESS_CKPT = True  # as HMM_DNN_ALI declares
     with pytest.warns(UserWarning, match="falling back"):
         model.on_evaluate_start(max_key="plvl_md.F1")  # warns, no raise
+
+
+# ---------------------------------------------------------------------------
+# 4) scanned epochs STREAM: dispatch interleaves with loader consumption
+# ---------------------------------------------------------------------------
+def test_fit_epoch_scanned_streams_chunks():
+    """The r3b w2v OOM came from uploading the whole epoch before the first
+    dispatch.  With scan_chunk=2 over 6 same-shape batches, the first scan
+    dispatch must happen before the loader has yielded its last batch."""
+    model = _model()
+    model.target = Target.VAE
+    model.scan_epoch = True
+    model.scan_chunk = 2
+    model.rng = jax.random.PRNGKey(5)
+
+    events = []
+
+    class _TracingLoader:
+        def __init__(self, batches):
+            self.batches = batches
+
+        def __iter__(self):
+            for i, b in enumerate(self.batches):
+                events.append(("yield", i))
+                yield b
+
+    orig = model._get_scan_fn
+
+    def traced_get_scan_fn(sig, K):
+        events.append(("dispatch", K))
+        return orig(sig, K)
+
+    model._get_scan_fn = traced_get_scan_fn
+    batches = [  # 6 same-shape batches -> 3 chunks of 2
+        _FakeBatch(synth_batch(batch_size=8, T=32, L=4, seed=200 + i),
+                   [f"v{i}_{j}" for j in range(8)])
+        for i in range(6)
+    ]
+    model._fit_epoch_scanned(_TracingLoader(batches))
+
+    first_dispatch = events.index(("dispatch", 2))
+    last_yield = max(i for i, e in enumerate(events) if e[0] == "yield")
+    assert first_dispatch < last_yield, events
+    assert [e for e in events if e[0] == "dispatch"] == [("dispatch", 2)] * 3
