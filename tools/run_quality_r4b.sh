@@ -76,5 +76,14 @@ run_test  sfl_saved_b MD_VAE_sfl_saved_phn_recog \
 run_train phn50 test_phn_classifier
 run_test  phn50 test_phn_classifier
 
+# ---- 4) extended-horizon flagship (3x the reference epochs) -----------------
+# The 50-epoch runs land on one of the two degenerate poles (RESULTS.md
+# base-rate caveat).  150 epochs = 50 full PHN->BDET->VAE cycles: does the
+# self-training ever leave the poles on this corpus, or is the pole a fixed
+# point?  Soft/IOU + boundary metrics are the signal to read.
+MDVAE_W="{model: {n_epochs: 150, phn_recog_bce_weight: 1, boundary_bce_weight: 1, recon_weight: 1}}"
+run_train mdvae150 MD_VAE --seed 7777 --extra_overrides "$MDVAE_W"
+run_test  mdvae150 MD_VAE --seed 7777 --extra_overrides "$MDVAE_W"
+
 echo "=== part B done ==="
 cat "$WORK/logs/phases.txt"
