@@ -223,3 +223,54 @@ def test_fit_epoch_scanned_streams_chunks():
     last_yield = max(i for i, e in enumerate(events) if e[0] == "yield")
     assert first_dispatch < last_yield, events
     assert [e for e in events if e[0] == "dispatch"] == [("dispatch", 2)] * 3
+
+
+# ---------------------------------------------------------------------------
+# 5) EVAL_PRED_KEYS declarations cover what evaluate_predictions reads
+# ---------------------------------------------------------------------------
+def test_eval_pred_keys_cover_evaluate_predictions_reads():
+    """Static audit over every recipe: each key accessed as
+    ``predictions[...]``/``predictions.get(...)`` inside
+    ``evaluate_predictions`` (or ``save_md_result``) must be present in the
+    recipe's resolved EVAL_PRED_KEYS (walking the MRO, since most recipes
+    inherit both the hook and the declaration)."""
+    import ast
+    import importlib
+    from pathlib import Path
+
+    models_dir = Path(__file__).resolve().parents[1] / "mlvae_tpu" / "models"
+    recipes = sorted(p.parent.name for p in models_dir.glob("*/model.py"))
+    assert len(recipes) >= 20
+    for name in recipes:
+        mod = importlib.import_module(f"mlvae_tpu.models.{name}.model")
+        cls = mod.SBModel
+        declared = cls.EVAL_PRED_KEYS
+        src = (models_dir / name / "model.py").read_text()
+        used = set()
+        for node in ast.walk(ast.parse(src)):
+            if (isinstance(node, ast.FunctionDef)
+                    and node.name in ("evaluate_predictions",
+                                      "save_md_result")):
+                for n in ast.walk(node):
+                    if (isinstance(n, ast.Subscript)
+                            and isinstance(n.value, ast.Name)
+                            and n.value.id == "predictions"
+                            and isinstance(n.slice, ast.Constant)):
+                        used.add(n.slice.value)
+                    if (isinstance(n, ast.Call)
+                            and isinstance(n.func, ast.Attribute)
+                            and n.func.attr == "get"
+                            and isinstance(n.func.value, ast.Name)
+                            and n.func.value.id == "predictions"
+                            and n.args
+                            and isinstance(n.args[0], ast.Constant)):
+                        used.add(n.args[0].value)
+        if used:
+            assert declared is not None, (
+                f"{name}: evaluate_predictions reads {sorted(used)} but "
+                f"declares no EVAL_PRED_KEYS — the eval step would fetch "
+                f"the full prediction tree")
+            missing = used - set(declared)
+            assert not missing, (
+                f"{name}: evaluate_predictions reads {sorted(missing)} "
+                f"missing from EVAL_PRED_KEYS {sorted(declared)}")
