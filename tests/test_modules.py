@@ -37,8 +37,8 @@ def test_fcblock_matches_torch_stack():
     for i in range(len(sizes) - 1):
         lin = torch.nn.Linear(sizes[i], sizes[i + 1])
         with torch.no_grad():
-            lin.weight.copy_(torch.from_numpy(np.asarray(params[f"lin{i}"]["weight"])))
-            lin.bias.copy_(torch.from_numpy(np.asarray(params[f"lin{i}"]["bias"])))
+            lin.weight.copy_(torch.from_numpy(np.array(params[f"lin{i}"]["weight"])))
+            lin.bias.copy_(torch.from_numpy(np.array(params[f"lin{i}"]["bias"])))
         layers += [lin, torch.nn.LeakyReLU()]
     tmod = torch.nn.Sequential(*layers)
     with torch.no_grad():

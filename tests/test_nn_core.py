@@ -27,8 +27,8 @@ def test_linear_matches_torch():
 
     tlin = torch.nn.Linear(12, 7)
     with torch.no_grad():
-        tlin.weight.copy_(torch.from_numpy(np.asarray(params["weight"])))
-        tlin.bias.copy_(torch.from_numpy(np.asarray(params["bias"])))
+        tlin.weight.copy_(torch.from_numpy(np.array(params["weight"])))
+        tlin.bias.copy_(torch.from_numpy(np.array(params["bias"])))
         ty = tlin(torch.from_numpy(x))
 
     np.testing.assert_allclose(np.asarray(y), ty.numpy(), rtol=1e-5, atol=1e-5)
@@ -54,7 +54,7 @@ def test_lstm_matches_torch(bidirectional, num_layers):
 
     tl = torch.nn.LSTM(C, H, num_layers=num_layers, batch_first=True,
                        bidirectional=bidirectional)
-    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in params.items()}
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in params.items()}
     tl.load_state_dict(sd)
     with torch.no_grad():
         tout, _ = tl(torch.from_numpy(x))
@@ -86,7 +86,7 @@ def test_lstm_hn_cn_match_torch():
         _, (h_n, c_n) = lstm.apply(params, jnp.asarray(x))
         tl = torch.nn.LSTM(C, H, num_layers=2, batch_first=True,
                            bidirectional=bidirectional)
-        tl.load_state_dict({k: torch.from_numpy(np.asarray(v))
+        tl.load_state_dict({k: torch.from_numpy(np.array(v))
                             for k, v in params.items()})
         with torch.no_grad():
             _, (th, tc) = tl(torch.from_numpy(x))
@@ -113,7 +113,7 @@ def test_rnn_bias_false_matches_torch(cls_name):
 
     tl = tcls(C, H, num_layers=2, batch_first=True, bidirectional=True,
               bias=False)
-    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in params.items()}
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in params.items()}
     tl.load_state_dict(sd)
     with torch.no_grad():
         tout = tl(torch.from_numpy(x))[0]
