@@ -259,8 +259,14 @@ def main():
 
     torch.manual_seed(args.seed)  # config/run.yaml:2-3
     torch.use_deterministic_algorithms(True, warn_only=True)  # train.py:7
+    torch.set_num_threads(1)  # this build host exposes ONE core
 
-    from utils.decode_utils import decode_plvl_md_lbl_seqs_full as decode_fn
+    # identical outputs to the shipped joblib version (decode_utils.py:374);
+    # on a 1-core host the per-call 8-way loky pool thrashes (observed: 550
+    # leaked worker processes, load 500+), so use the reference's own serial
+    # twin (decode_utils.py:191)
+    from utils.decode_utils import (
+        decode_plvl_md_lbl_seqs_full_non_par as decode_fn)
 
     data_dir = Path(args.data)
     train_b = load_batches(data_dir, "train")
