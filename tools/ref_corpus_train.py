@@ -230,13 +230,19 @@ def evaluate(modules, normalizer, batches, epoch, decode_fn, target="TEST"):
             losses.append(float(total_loss(preds, batch["feat"][1])))
             gt_md = undo_padding_tensor(*batch["plvl_gt_md_lbl_seq"])
             gt_b = undo_padding_tensor(*batch["gt_boundary_seq"])
+            # copy ids: the reference's MDMetricStats.append aliases the
+            # caller's list into saved_seqs['utt_ids'] and then .extend()s
+            # it IN PLACE on later appends (md_metric_stats.py:24-29) — a
+            # reference bug masked there by transient DataLoader batches;
+            # this harness reuses batch dicts across epochs (our port
+            # defends with list(ids), mlvae_tpu/metrics/md.py:194)
             md_stats.append(
-                ids=batch["id"],
+                ids=list(batch["id"]),
                 pred_md_lbl_seqs=preds["decoded_plvl_md_lbl_seq"],
                 gt_md_lbl_seqs=gt_md,
                 pred_boundary_seqs=preds["decoded_boundary_seq"],
                 gt_boundary_seqs=gt_b)
-            b_stats.append(ids=batch["id"],
+            b_stats.append(ids=list(batch["id"]),
                            predictions=preds["decoded_boundary_seq"],
                            targets=gt_b)
     modules.train()
