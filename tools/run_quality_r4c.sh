@@ -81,6 +81,14 @@ for s in 7777 24601 555 90210; do
 done
 
 # ---- 2) cleaned round trip on the best seed from (1) -----------------------
+# The MD-results dump MUST come from test_on_three_sets: a plain cli.test
+# only evaluates (and therefore only dumps results for) the TEST set, which
+# leaves TRAIN/VALID cleaning vacuous — the first r4 attempt
+# (phases train/test_mdvae_cleaned) reproduced the base trajectory
+# bit-identically for exactly this reason.  Mirrors the reference workflow:
+# save_md_result runs in the TEST stage of evaluate() on whichever set is
+# being evaluated (reference MD_VAE/model.py:232-272), so covering all
+# three sets requires test_on_three_sets (reference test_on_three_sets.py).
 BEST=$(python - <<'EOF'
 import re
 from pathlib import Path
@@ -100,9 +108,10 @@ print(best if best is not None else 7777)
 EOF
 )
 echo "cleaned round trip base seed: $BEST" >> "$WORK/logs/phases.txt"
-run_train mdvae_cleaned 2700 MD_VAE --seed "$BEST" --extra_overrides "$MDVAE_W" \
+run_test3 "mdvae_s$BEST" 2400 MD_VAE --seed "$BEST" --extra_overrides "$MDVAE_W"
+run_train mdvae_cleaned3 2700 MD_VAE --seed "$BEST" --extra_overrides "$MDVAE_W" \
     --saved_md_results_model_name "mdvae_s$BEST"
-run_test  mdvae_cleaned 1200 MD_VAE --seed "$BEST" --extra_overrides "$MDVAE_W" \
+run_test  mdvae_cleaned3 1200 MD_VAE --seed "$BEST" --extra_overrides "$MDVAE_W" \
     --saved_md_results_model_name "mdvae_s$BEST"
 
 # ---- 3) SFL precision x seed matrix (30 epochs, reference weights) ----------
