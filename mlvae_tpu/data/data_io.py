@@ -19,6 +19,7 @@ import json
 import logging
 import pickle
 import time
+import warnings
 from pathlib import Path
 from typing import Dict, List, Tuple
 
@@ -446,6 +447,25 @@ def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
             with open(json_path) as f:
                 saved = json.load(f)
             logger.info("Applying saved MD results (data cleaning).")
+            n_covered = sum(1 for u in computed if u in saved)
+            if n_covered == 0:
+                # The reference silently leaves uncovered utterances
+                # untouched (its cleaning indexes saved results per utt,
+                # data_io.py:107-131) — which makes a dump produced by the
+                # TEST-set-only `cli.test` entry clean NOTHING in the
+                # train/valid splits and the "cleaned" retrain silently
+                # reproduce the base run.  Warn loudly instead.
+                warnings.warn(
+                    f"saved MD results '{json_path.name}' cover 0/"
+                    f"{len(computed)} utterances of split '{set_name}': "
+                    "cleaning is a no-op for this split.  Dumps from "
+                    "cli.test only cover the TEST set; use "
+                    "cli.test_on_three_sets to dump results for every "
+                    "split before a cleaned retrain.")
+            else:
+                logger.info(
+                    "data cleaning covers %d/%d utterances of split %s",
+                    n_covered, len(computed), set_name)
             fully_excised = []
             for utt_id, sample in computed.items():
                 if utt_id not in saved:

@@ -280,7 +280,11 @@ def test_data_cleaning_drops_fully_excised_utterances(tmp_path, monkeypatch):
         json.dumps({victim: results}))
 
     hparams["apply_saved_md_results"] = True
-    datasets, _ = data_io.prepare_datasets(hparams)
+    # the dump above covers one train utterance and nothing in valid/test:
+    # the zero-coverage splits must warn loudly (a TEST-only cli.test dump
+    # otherwise makes a "cleaned" retrain silently reproduce the base run)
+    with pytest.warns(UserWarning, match=r"cover 0/\d+ utterances"):
+        datasets, _ = data_io.prepare_datasets(hparams)
     train = datasets[0]
     assert victim not in train.ids
     assert len(train) == len(computed) - 1
