@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 from collections import deque
 from enum import Enum, auto
@@ -153,6 +154,10 @@ class Brain:
         self.device_batch_cache_limit = int(
             self.run_opts.get("device_batch_cache_mb", 2048)
         ) * 1024 * 1024
+        # set by _autoscale_cache_budget for w2v-scale states (or forced
+        # via MLVAE_HBM_TIGHT): depth-1 scan dispatch + single-snapshot
+        # async-checkpoint queue
+        self._hbm_tight = False
         # epoch-in-jit: lax.scan the train step over runs of consecutive
         # same-shape device batches — ONE dispatch per run instead of one
         # per batch (the reference's per-batch eager loop pays a host
@@ -516,6 +521,11 @@ class Brain:
         test meshes) or the model is small."""
         if self.params is None:
             return
+        env = os.environ.get("MLVAE_HBM_TIGHT")
+        if env is not None:
+            # forced either way, even on backends with no memory stats
+            # (lets the CPU test mesh exercise the tight code paths)
+            self._hbm_tight = env.strip().lower() in ("1", "true", "yes")
         param_bytes = sum(
             int(np.prod(np.asarray(leaf).shape)) * leaf.dtype.itemsize
             for leaf in jax.tree_util.tree_leaves(self.params)
@@ -529,6 +539,22 @@ class Brain:
         if not hbm:
             return
         reserve = 7 * param_bytes + 2 * 1024 ** 3  # + activation headroom
+        # HBM-tight regime (w2v-scale states): the scanned-epoch dispatch
+        # pipeline and the async-checkpoint queue each pin whole extra
+        # copies of chunk inputs / training state; when the resident state
+        # alone claims most of the chip, degrade both to their
+        # minimum-pinning forms (depth-1 dispatch below, single-snapshot
+        # ckpt queue in training/checkpointer.py).  r3b/r4 evidence: the
+        # 317M w2v trunk RESOURCE_EXHAUSTED'd at epoch ~2 under the
+        # default depth-3 window once eval buffers + a pinned snapshot
+        # joined it.  MLVAE_HBM_TIGHT=1/0 forces either mode.
+        if env is None:
+            self._hbm_tight = reserve > (hbm * 3) // 5
+        if self._hbm_tight:
+            logger.info(
+                "HBM-tight mode: depth-1 scan dispatch, single-snapshot "
+                "async-ckpt queue (state reserve %d MiB vs HBM %d MiB)",
+                reserve >> 20, hbm >> 20)
         budget = max(0, (hbm - reserve) // 2)  # two caches share the limit
         if budget < self.device_batch_cache_limit:
             logger.info(
@@ -741,9 +767,14 @@ class Brain:
             self.step += K
             pending.append((ls, lss))
             # bound the dispatch queue: wait for the chunk two back before
-            # enqueuing more, so at most ~3 chunks' inputs are live in HBM
-            if len(pending) >= 3:
-                jax.block_until_ready(pending[-3][0])
+            # enqueuing more, so at most ~3 chunks' inputs are live in HBM.
+            # In HBM-tight mode (w2v-scale resident state) drop to depth 1:
+            # at most the current + one dispatched chunk live, trading
+            # pipeline overlap for the headroom that r4's cnncl10b run
+            # showed the depth-3 window does not leave at 317M params.
+            depth = 1 if self._hbm_tight else 3
+            if len(pending) >= depth:
+                jax.block_until_ready(pending[-depth][0])
 
         run: List = []
         run_sig = None

@@ -280,8 +280,19 @@ class Checkpointer:
             # backpressure: every queued snapshot pins its device buffers
             # until the worker's fetch completes, so bound the queue depth
             # (rare: only bites when saves are slower than epochs AND the
-            # queued saves are all best-by-key-protected from the drop pass)
-            while len(self._queue) >= 2 and self._worker_error is None:
+            # queued saves are all best-by-key-protected from the drop pass).
+            # Large states (w2v scale: a snapshot is several GiB of HBM)
+            # drop the bound to ONE queued snapshot — pinning two 3.8 GiB
+            # state copies beside the resident training state is part of
+            # what RESOURCE_EXHAUSTED'd the r3b/r4 cnncl runs.  Threshold
+            # override: MLVAE_ASYNC_CKPT_TIGHT_BYTES (default 1 GiB).
+            snap_bytes = sum(
+                getattr(leaf, "nbytes", 0)
+                for leaf in jax.tree_util.tree_leaves(state))
+            tight_at = int(os.environ.get(
+                "MLVAE_ASYNC_CKPT_TIGHT_BYTES", 1 << 30))
+            depth = 1 if snap_bytes > tight_at else 2
+            while len(self._queue) >= depth and self._worker_error is None:
                 self._cv.wait()
             self._queue.append(
                 (state, meta, max_keys, min_keys, num_to_keep, keep_recent))

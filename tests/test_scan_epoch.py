@@ -134,3 +134,28 @@ def test_scanned_eval_matches_per_batch_loop():
     avg_b, sum_b = run(True)
     assert np.allclose(avg_a, avg_b, rtol=1e-5), (avg_a, avg_b)
     assert sum_a == sum_b, (sum_a, sum_b)
+
+
+def test_hbm_tight_depth1_dispatch_matches_default(monkeypatch):
+    """HBM-tight mode only changes how many dispatched chunks stay pinned
+    (depth-1 vs depth-3 sync points) — parameters, losses, and rng must be
+    bit-compatible with the default pipeline."""
+    loss_a, params_a, rng_a = _run(True)
+    monkeypatch.setenv("MLVAE_HBM_TIGHT", "1")
+    model = _small_md_vae(batch_size=8)
+    model.target = Target.VAE
+    model.scan_epoch = True
+    model.init_params()
+    model.ensure_states(120)
+    model.init_optimizers()
+    model._autoscale_cache_budget()  # consumes the env override
+    assert model._hbm_tight
+    model.rng = jax.random.PRNGKey(7)
+    loss_b, params_b = model._fit_epoch_scanned(_FakeLoader(_batches()))[0], model.params
+    assert np.allclose(loss_a, loss_b, rtol=1e-6), (loss_a, loss_b)
+    assert jnp.array_equal(rng_a, model.rng)
+    jax.tree_util.tree_map_with_path(
+        lambda path, va, vb: np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path)),
+        params_a, params_b)
