@@ -537,7 +537,19 @@ class Brain:
         except Exception:
             hbm = 0
         if not hbm:
-            return
+            env_hbm = os.environ.get("MLVAE_HBM_BYTES")
+            platform = getattr(jax.devices()[0], "platform", "")
+            if env_hbm:
+                hbm = int(env_hbm)
+            elif platform in ("tpu", "axon"):
+                # tunneled/plugin TPU devices (axon) expose no
+                # memory_stats(), which silently disabled BOTH the cache
+                # autoscale and HBM-tight mode in the r3b/r4 cnncl OOMs —
+                # assume the v5e/v5p per-chip floor so they engage;
+                # override with MLVAE_HBM_BYTES for other parts
+                hbm = 16 * 1024 ** 3
+            else:
+                return
         reserve = 7 * param_bytes + 2 * 1024 ** 3  # + activation headroom
         # HBM-tight regime (w2v-scale states): the scanned-epoch dispatch
         # pipeline and the async-checkpoint queue each pin whole extra

@@ -77,7 +77,11 @@ def test_md_vae_train_eval_roundtrip(workdir):
     saved.write_text(json.dumps(crafted))
 
     args = _args() + ["--saved_md_results_model_name", "mdvae_smoke"]
-    ds_clean = prepare_experiment(args, prepare_exp_dir=False)["datasets"][2]
+    # the crafted dump covers TEST utterances only, so the train/valid
+    # splits legitimately hit the zero-coverage cleaning warning
+    with pytest.warns(UserWarning, match=r"cover 0/\d+ utterances"):
+        ds_clean = prepare_experiment(
+            args, prepare_exp_dir=False)["datasets"][2]
     n_before_p = len(base.data[utt_id]["gt_phn_seq"])
     n_after_p = len(ds_clean.data[utt_id]["gt_phn_seq"])
     assert n_after_p == n_before_p - 1
