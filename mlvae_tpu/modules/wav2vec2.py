@@ -37,6 +37,7 @@ topology, documented substitution.  Conversion is tested numerically against
 """
 from __future__ import annotations
 
+import os
 import logging
 import math
 from typing import Any, Dict, Optional, Sequence
@@ -399,7 +400,20 @@ class Wav2Vec2Encoder(Module):
                 h = _ln(h + ffn(h, lp, keys), lp["ln2_s"], lp["ln2_b"], eps)
             return h, None
 
-        h, _ = jax.lax.scan(body, h, (params["layers"], layer_keys))
+        # Per-layer rematerialisation: without it, differentiating the
+        # scan saves every layer's residuals — attention probs (B,H,T,T),
+        # QKV, and (B,T,4D) FFN intermediates — which at 24 layers is
+        # several GiB and (together with the resident 317M-param train
+        # state) RESOURCE_EXHAUSTED'd the fine-tuning w2v recipes on a
+        # 16 GiB chip (r3b/r4 cnncl runs).  jax.checkpoint keeps only the
+        # (B,T,D) carry per layer and recomputes the rest in the backward
+        # — the standard TPU memory/FLOPs trade for deep trunks.  Opt out
+        # with MLVAE_W2V_REMAT=0 (e.g. small-T ablations).
+        scan_body = body
+        if os.environ.get("MLVAE_W2V_REMAT", "1").lower() not in (
+                "0", "false"):
+            scan_body = jax.checkpoint(body)
+        h, _ = jax.lax.scan(scan_body, h, (params["layers"], layer_keys))
         if stable:
             h = _ln(h, en["scale"], en["bias"], eps)
         return h
