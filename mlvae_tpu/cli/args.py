@@ -33,6 +33,8 @@ RUN_OPT_KEYS = {
     "compile_cache": bool,
     "compile_cache_dir": str,
     "async_ckpt": bool,
+    # ZeRO-1 optimizer-state sharding over the data axis (parallel/zero1.py)
+    "zero1": bool,
 }
 
 

@@ -449,9 +449,11 @@ def prepare_datasets(hparams) -> Tuple[List[DynamicItemDataset], LabelEncoder]:
             logger.info("Applying saved MD results (data cleaning).")
             n_covered = sum(1 for u in computed if u in saved)
             if n_covered == 0:
-                # The reference silently leaves uncovered utterances
-                # untouched (its cleaning indexes saved results per utt,
-                # data_io.py:107-131) — which makes a dump produced by the
+                # The reference indexes saved_md_results[utt_id] with no
+                # membership check (its data_io.py:119-131), so an
+                # uncovered utterance CRASHES there; this framework's
+                # skip-uncovered behaviour is a deliberate, more lenient
+                # divergence — but it makes a dump produced by the
                 # TEST-set-only `cli.test` entry clean NOTHING in the
                 # train/valid splits and the "cleaned" retrain silently
                 # reproduce the base run.  Warn loudly instead.

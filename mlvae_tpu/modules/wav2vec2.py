@@ -412,7 +412,10 @@ class Wav2Vec2Encoder(Module):
         scan_body = body
         if os.environ.get("MLVAE_W2V_REMAT", "1").lower() not in (
                 "0", "false"):
-            scan_body = jax.checkpoint(body)
+            # prevent_cse=False: safe (and recommended) under lax.scan,
+            # where the staging workarounds prevent_cse inserts are
+            # unnecessary and can pessimise the compiled code
+            scan_body = jax.checkpoint(body, prevent_cse=False)
         h, _ = jax.lax.scan(scan_body, h, (params["layers"], layer_keys))
         if stable:
             h = _ln(h, en["scale"], en["bias"], eps)

@@ -158,6 +158,9 @@ class Brain:
         # via MLVAE_HBM_TIGHT): depth-1 scan dispatch + single-snapshot
         # async-checkpoint queue
         self._hbm_tight = False
+        # ZeRO-1 wrapped optimizers keyed by (opt_name, module); populated
+        # by _setup_zero1 when --zero1 and a data axis > 1 are present
+        self._zero1_opts: Dict[Any, Any] = {}
         # epoch-in-jit: lax.scan the train step over runs of consecutive
         # same-shape device batches — ONE dispatch per run instead of one
         # per batch (the reference's per-batch eager loop pays a host
@@ -264,9 +267,25 @@ class Brain:
     # fused step builders
     # ------------------------------------------------------------------
     def _make_train_step(self):
+        """Jitted fused train step with DONATED state buffers: params,
+        optimizer states and running states are consumed by the call (XLA
+        aliases them onto the outputs), so one resident copy of the
+        training state exists during the update instead of two.  At w2v
+        scale (317M-param trunk + Adam moments ≈ 5 GiB f32) the
+        un-donated input+output double residency was the largest single
+        allocation in the r4 ``w2v_CRDNN_CTC_cnncl`` OOMs
+        (runs/r4/logs/train_cnncl10e.log).  Callers must treat the passed
+        state trees as dead after the call — the fit loops reassign
+        ``self.params/opt_states/states`` from the step outputs, and any
+        externally held reference (async-checkpoint snapshots) must be
+        off-device first (``Checkpointer.wait_device_release``)."""
+        return jax.jit(self._make_train_step_raw(), donate_argnums=(0, 1, 2))
+
+    def _make_train_step_raw(self):
         opt_items = [(name, self.optimizers[name][0],
                       self.optimizers[name][1])
                      for name in sorted(self.optimizers)]
+        zero1_opts = getattr(self, "_zero1_opts", {})
 
         def step(params, opt_states, states, rng, batch, epoch):
             def loss_fn(p):
@@ -313,7 +332,9 @@ class Brain:
                 for mk in self._opt_module_keys(module_names):
                     g_m = {mk: grads[mk]}
                     p_m = {mk: new_params[mk]}
-                    updates, st = opt.update(g_m, opt_states[name][mk], p_m)
+                    opt_mk = zero1_opts.get((name, mk), opt)
+                    updates, st = opt_mk.update(g_m, opt_states[name][mk],
+                                                p_m)
                     # a module whose grads are ALL zero this step is
                     # inactive (its losses were detached under the current
                     # target, or the step was non-finite): skip it like
@@ -380,6 +401,11 @@ class Brain:
         if key not in self._compiled:
             if kind == "train":
                 self._compiled[key] = self._make_train_step()
+            elif kind == "train_raw":
+                # unjitted step for embedding in lax.scan: the scan jit
+                # carries the donation annotation (donating an inner jit
+                # under an outer trace is ignored by XLA)
+                self._compiled[key] = self._make_train_step_raw()
             else:
                 self._compiled[key] = self._make_eval_step(stage)
         return self._compiled[key]
@@ -548,9 +574,22 @@ class Brain:
                 # assume the v5e/v5p per-chip floor so they engage;
                 # override with MLVAE_HBM_BYTES for other parts
                 hbm = 16 * 1024 ** 3
+                # loud, because on larger parts (v4/v5p/v6e) this
+                # under-estimate shrinks the cache budget and can wrongly
+                # engage depth-1 dispatch — a silent perf regression
+                logger.warning(
+                    "device exposes no memory_stats(); assuming %d GiB "
+                    "HBM for cache autoscale / HBM-tight heuristics — "
+                    "set MLVAE_HBM_BYTES to the real per-chip capacity "
+                    "if this part is larger", hbm >> 30)
             else:
                 return
-        reserve = 7 * param_bytes + 2 * 1024 ** 3  # + activation headroom
+        # Resident-state ledger (post-donation): params + two Adam moments
+        # + transient grads + a bf16 cast ≈ 4.5x param bytes.  (Was 7x when
+        # the un-donated step held input+output state copies and async-ckpt
+        # snapshots pinned device buffers across epochs; the donating step
+        # and the checkpointer's fetch-before-write removed those.)
+        reserve = 9 * param_bytes // 2 + 2 * 1024 ** 3  # + activation headroom
         # HBM-tight regime (w2v-scale states): the scanned-epoch dispatch
         # pipeline and the async-checkpoint queue each pin whole extra
         # copies of chunk inputs / training state; when the resident state
@@ -586,6 +625,41 @@ class Brain:
             specs = self._param_partition_specs(self.params)
             self.params = shard_tree(self.mesh, self.params, specs)
             self.opt_states = self._place_opt_states(self.opt_states, specs)
+            self._setup_zero1(specs)
+
+    def _setup_zero1(self, param_specs):
+        """Optional ZeRO-1: shard optimizer moments of replicated (non-TP)
+        modules over the 'data' mesh axis (``--zero1 True``).  Populates
+        ``self._zero1_opts[(opt_name, module)]`` consumed by the train
+        step, and re-places those modules' existing opt states sharded.
+        See parallel/zero1.py."""
+        self._zero1_opts = {}
+        if not bool(self.run_opts.get("zero1", False)):
+            return
+        from jax.sharding import PartitionSpec
+        from mlvae_tpu.parallel.zero1 import zero1_place, zero1_wrap
+        n_data = dict(self.mesh.shape).get("data", 1)
+        if n_data <= 1:
+            logger.warning("--zero1 requested but the mesh has no 'data' "
+                           "axis > 1; ignoring")
+            return
+        for name, (opt, module_names) in self.optimizers.items():
+            wrapped = zero1_wrap(opt, self.mesh)
+            for mk in self._opt_module_keys(module_names):
+                # TP-split modules already shard moments like their params
+                # (_place_opt_states); ZeRO-1 covers the replicated rest
+                if any(s != PartitionSpec()
+                       for s in jax.tree_util.tree_leaves(
+                           param_specs.get(mk, {}))):
+                    continue
+                self._zero1_opts[(name, mk)] = wrapped
+                self.opt_states[name][mk] = zero1_place(
+                    self.opt_states[name][mk], self.mesh)
+        if self._zero1_opts:
+            logger.info(
+                "ZeRO-1: optimizer state sharded over %d-way data axis for "
+                "%d (optimizer, module) pairs", n_data,
+                len(self._zero1_opts))
 
     def on_fit_end(self):
         if self.checkpointer is not None:
@@ -704,7 +778,7 @@ class Brain:
         ckey = ("train_scan", sig, K, self._step_key())
         fn = self._compiled.get(ckey)
         if fn is None:
-            step = self._get_compiled("train", Stage.TRAIN)
+            step = self._get_compiled("train_raw", Stage.TRAIN)
 
             def scan_steps(params, opt_states, states, rngs, batches, epoch):
                 def body(carry, xs):
@@ -717,7 +791,9 @@ class Brain:
                     body, (params, opt_states, states), (rngs, batches)
                 )
 
-            fn = jax.jit(scan_steps)
+            # donate the carried training state (see _make_train_step):
+            # halves state residency during the epoch's hot loop
+            fn = jax.jit(scan_steps, donate_argnums=(0, 1, 2))
             self._compiled[ckey] = fn
         return fn
 
@@ -997,6 +1073,17 @@ class Brain:
         for epoch in epoch_counter:
             self.training = True
             self.on_stage_start(Stage.TRAIN, epoch)
+            # the train step DONATES self.params/opt_states/states; an
+            # async-checkpoint snapshot still pinning those device buffers
+            # would be invalidated by the first dispatch, so block until
+            # the save worker has fetched every queued snapshot to host
+            # (the D2H DMA started inside save(), and the whole VALID
+            # stage has usually passed since — this is normally a no-op)
+            if self.checkpointer is not None:
+                waiter = getattr(self.checkpointer, "wait_device_release",
+                                 None)
+                if waiter is not None:
+                    waiter()
             self.step_timer.reset()
             t0 = time.time()
             losses = []

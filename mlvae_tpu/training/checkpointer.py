@@ -31,6 +31,30 @@ import jax
 logger = logging.getLogger(__name__)
 
 
+def _holds_device_arrays(state) -> bool:
+    """True if any leaf is a live jax.Array (i.e. the snapshot still pins
+    device buffers).  Host trees (numpy, re-enqueued fetched snapshots)
+    return False so the device-pin accounting stays balanced."""
+    return any(isinstance(leaf, jax.Array)
+               for leaf in jax.tree_util.tree_leaves(state))
+
+
+def _leaf_device_bytes(leaf) -> int:
+    """PER-DEVICE bytes a leaf pins: for sharded arrays the shard size, not
+    the global ``nbytes`` (which over-counted on multi-chip meshes and
+    could wrongly engage the single-queued-snapshot bound — r4 advisor
+    finding)."""
+    nbytes = getattr(leaf, "nbytes", 0)
+    sharding = getattr(leaf, "sharding", None)
+    if sharding is not None and nbytes:
+        try:
+            shard_shape = sharding.shard_shape(leaf.shape)
+            return int(np.prod(shard_shape)) * leaf.dtype.itemsize
+        except Exception:
+            pass
+    return nbytes
+
+
 def _flatten(tree) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
@@ -119,6 +143,10 @@ class Checkpointer:
         # worker's save fails, so async never loses a state sync would have
         # written (review finding: drop-then-superseder-fails)
         self._dropped: List[tuple] = []
+        # queued/in-flight snapshots whose DEVICE buffers are still live
+        # (the worker decrements after its device->host fetch); the Brain's
+        # donating train step waits on this via wait_device_release()
+        self._device_pinned = 0
         self._closed = False
         self._atexit_cb = None
 
@@ -274,6 +302,9 @@ class Checkpointer:
                         # held items can linger, so release their device
                         # buffers now (the async copy above makes this a
                         # near-complete DMA, not a fresh synchronous fetch)
+                        if _holds_device_arrays(item[0]):
+                            self._device_pinned -= 1
+                            self._cv.notify_all()
                         self._dropped.append(
                             (jax.device_get(item[0]),) + item[1:])
                 self._queue = new_queue
@@ -287,7 +318,7 @@ class Checkpointer:
             # what RESOURCE_EXHAUSTED'd the r3b/r4 cnncl runs.  Threshold
             # override: MLVAE_ASYNC_CKPT_TIGHT_BYTES (default 1 GiB).
             snap_bytes = sum(
-                getattr(leaf, "nbytes", 0)
+                _leaf_device_bytes(leaf)
                 for leaf in jax.tree_util.tree_leaves(state))
             tight_at = int(os.environ.get(
                 "MLVAE_ASYNC_CKPT_TIGHT_BYTES", 1 << 30))
@@ -296,8 +327,25 @@ class Checkpointer:
                 self._cv.wait()
             self._queue.append(
                 (state, meta, max_keys, min_keys, num_to_keep, keep_recent))
+            if _holds_device_arrays(state):
+                self._device_pinned += 1
             self._ensure_worker()
             self._cv.notify_all()
+
+    def wait_device_release(self):
+        """Block until no queued or in-flight async snapshot still holds
+        DEVICE buffers (the worker fetches each snapshot to host before
+        writing).  The Brain calls this before a train epoch whose steps
+        donate ``self.params``/``opt_states``/``states``: donating a buffer
+        a snapshot still references would invalidate the snapshot.  The
+        D2H DMA was kicked off inside ``save()`` and a whole VALID stage
+        normally runs in between, so this is almost always a no-op."""
+        if self._worker is None:
+            return
+        with self._cv:
+            while self._device_pinned > 0 and self._worker_error is None:
+                self._cv.wait()
+        self._raise_worker_error()
 
     @staticmethod
     def _possibly_kept(meta, max_keys, min_keys, num_to_keep, known) -> bool:
@@ -457,6 +505,17 @@ def _worker_main(ref: "weakref.ref[Checkpointer]"):
             self._inflight_meta = item[1]
             cv.notify_all()  # unblock backpressured enqueuers promptly
         try:
+            # fetch to host FIRST (completes the async D2H started in
+            # save()), then release the device buffers: from here on the
+            # snapshot holds no HBM, and a donating train step waiting in
+            # wait_device_release() may proceed while the disk write runs
+            if _holds_device_arrays(item[0]):
+                try:
+                    item = (jax.device_get(item[0]),) + item[1:]
+                finally:
+                    with cv:
+                        self._device_pinned -= 1
+                        cv.notify_all()
             self._save_and_prune(*item)
             if self._dropped:
                 # a held drop becomes final only once the persisted

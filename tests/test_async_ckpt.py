@@ -231,3 +231,57 @@ def test_list_checkpoints_skips_torn_entries(tmp_path):
     torn2.mkdir()
     (torn2 / "meta.json").write_text("{invalid json")
     assert [c.meta["epoch"] for c in ck.list_checkpoints()] == [1]
+
+
+def _jax_state(v):
+    import jax.numpy as jnp
+    return {"params": {"w": jnp.full((4, 4), float(v), jnp.float32)}}
+
+
+def test_wait_device_release_unblocks_donating_steps(tmp_path):
+    """The Brain's donating train step must be able to wait until no queued
+    async snapshot still references device buffers (donating a buffer a
+    snapshot holds would invalidate the snapshot).  After
+    wait_device_release returns, the pin count is zero and a save of the
+    SAME arrays that were since donated/deleted can no longer crash the
+    worker (it already holds host copies)."""
+    import jax
+    import jax.numpy as jnp
+
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    state = _jax_state(1)
+    ck.save_and_keep_only(state, meta={"F1": 10.0, "epoch": 1},
+                          max_keys=["F1"])
+    ck.wait_device_release()
+    assert ck._device_pinned == 0
+    # simulate the donation: delete the snapshot's device buffers
+    state["params"]["w"].delete()
+    ck.flush()  # worker must finish from its host copy, not the dead array
+    best = ck.find_checkpoint(max_key="F1")
+    assert best is not None and best.meta["F1"] == 10.0
+    restored = ck.load_checkpoint(best, templates=_state(0))
+    assert restored["params"]["w"][0, 0] == 1.0
+    ck.close()
+
+
+def test_wait_device_release_noop_without_worker(tmp_path):
+    ck = Checkpointer(tmp_path / "ckpts", async_save=False)
+    ck.wait_device_release()  # must not raise or hang
+    ck.save_and_keep_only(_state(1), meta={"epoch": 1})
+    ck.wait_device_release()
+    assert ck.find_checkpoint() is not None
+
+
+def test_host_state_saves_keep_pin_accounting_balanced(tmp_path):
+    """Re-enqueued/host-side snapshots must not decrement the device-pin
+    count below zero (a negative count would let a later donating epoch
+    skip a genuine wait)."""
+    ck = Checkpointer(tmp_path / "ckpts", async_save=True)
+    for epoch in (1, 2, 3):
+        ck.save_and_keep_only(_state(epoch), meta={"epoch": epoch})
+    ck.flush()
+    assert ck._device_pinned == 0
+    ck.save_and_keep_only(_jax_state(4), meta={"epoch": 4})
+    ck.wait_device_release()
+    assert ck._device_pinned == 0
+    ck.close()

@@ -188,3 +188,58 @@ def test_dp_scan_epoch_matches_dp_loop():
         )
 
     jax.tree_util.tree_map_with_path(check, params_a, params_b)
+
+
+def test_dp_zero1_matches_replicated_opt_state():
+    """ZeRO-1 (--zero1, parallel/zero1.py): the same DP train step with
+    optimizer moments SHARDED over the data axis must produce the same
+    updated params as the replicated-optimizer step (the sharding
+    annotations only move where the Adam elementwise math runs), while the
+    resident opt-state bytes per device drop to ~1/n."""
+    from mlvae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from mlvae_tpu.parallel.zero1 import moment_shard_fraction
+
+    B = 16
+    batch = synth_batch(batch_size=B, T=48, L=6)
+
+    def run(zero1: bool):
+        model = build_md_vae(batch_size=B)
+        model.target = Target.VAE
+        model.init_params()
+        model.ensure_states(120)
+        model.init_optimizers()
+        mesh = make_mesh(8)
+        model.mesh = mesh
+        model.run_opts["zero1"] = zero1
+        model.params = replicate(mesh, model.params)
+        model.opt_states = replicate(mesh, model.opt_states)
+        model.states = replicate(mesh, model.states)
+        from jax.sharding import PartitionSpec as P
+        specs = {k: jax.tree_util.tree_map(lambda _: P(), v)
+                 for k, v in model.params.items()}
+        model._setup_zero1(specs)
+        if zero1:
+            assert model._zero1_opts
+        b = shard_batch(mesh, batch)
+        step = model._get_compiled("train", Stage.TRAIN)
+        params, opt_states, _, loss, _ = step(
+            model.params, model.opt_states, model.states,
+            jax.random.PRNGKey(7), b, jnp.asarray(3, jnp.int32),
+        )
+        return float(loss), params, opt_states, mesh
+
+    loss_r, params_r, _, _ = run(False)
+    loss_z, params_z, opt_z, mesh = run(True)
+
+    assert abs(loss_r - loss_z) / abs(loss_r) < 1e-5, (loss_r, loss_z)
+
+    def check(path, va, vb):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+    jax.tree_util.tree_map_with_path(check, params_r, params_z)
+
+    frac = moment_shard_fraction(opt_z, mesh)
+    assert frac <= 1.0 / 8 + 0.1, frac
