@@ -9,9 +9,58 @@ hyperparameter so schedulers can update it without recompiling the step.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+def _scale_by_adam_moment_dtype(b1: float, b2: float, eps: float,
+                                dtype) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with BOTH moments stored in ``dtype``
+    (optax's ``mu_dtype`` covers only the first moment).  The update math
+    runs in the grads' dtype (f32 masters); only the resident state is
+    cast.  At wav2vec2 scale (317M params) bf16 moments halve the ~3.5 GiB
+    f32 Adam residency — the single-chip companion to ZeRO-1
+    (parallel/zero1.py), enabled via MLVAE_OPT_MOMENT_DTYPE=bfloat16."""
+    dtype = jnp.dtype(dtype)
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(g.dtype) + (1 - b1) * g,
+            updates, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, v: b2 * v.astype(g.dtype) + (1 - b2) * (g * g),
+            updates, state.nu)
+        count = jnp.where(state.count < jnp.iinfo(jnp.int32).max,
+                          state.count + 1, state.count)
+        c1 = 1.0 - jnp.power(jnp.float32(b1), count.astype(jnp.float32))
+        c2 = 1.0 - jnp.power(jnp.float32(b2), count.astype(jnp.float32))
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu, nu)
+        cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: x.astype(dtype), t)
+        return out, optax.ScaleByAdamState(count=count, mu=cast(mu),
+                                           nu=cast(nu))
+
+    return optax.GradientTransformation(init, update)
+
+
+def _adam_moment_dtype(learning_rate, b1, b2, eps, dtype):
+    return optax.chain(
+        _scale_by_adam_moment_dtype(b1, b2, eps, dtype),
+        optax.scale_by_learning_rate(learning_rate),
+    )
 
 
 class OptimizerFactory:
@@ -28,9 +77,18 @@ class OptimizerFactory:
         if self.name == "adam":
             betas = self.kwargs.get("betas", (0.9, 0.999))
             eps = self.kwargs.get("eps", 1e-8)
-            opt = optax.inject_hyperparams(optax.adam)(
-                learning_rate=self.lr, b1=betas[0], b2=betas[1], eps=eps
-            )
+            moment_dtype = self.kwargs.get(
+                "moment_dtype",
+                os.environ.get("MLVAE_OPT_MOMENT_DTYPE", "").strip() or None)
+            if moment_dtype and jnp.dtype(moment_dtype) != jnp.float32:
+                opt = optax.inject_hyperparams(_adam_moment_dtype)(
+                    learning_rate=self.lr, b1=betas[0], b2=betas[1],
+                    eps=eps, dtype=moment_dtype
+                )
+            else:
+                opt = optax.inject_hyperparams(optax.adam)(
+                    learning_rate=self.lr, b1=betas[0], b2=betas[1], eps=eps
+                )
         elif self.name == "adadelta":
             rho = self.kwargs.get("rho", 0.9)
             eps = self.kwargs.get("eps", 1e-6)
