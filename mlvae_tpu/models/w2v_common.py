@@ -1,6 +1,9 @@
 """Shared wav2vec2 plumbing for the w2v_* recipes."""
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 
@@ -10,9 +13,57 @@ class W2VMixin:
     ``models/w2v_MD_VAE/model.py:31-40``.  The reference asserts the raw
     length difference is in [-2, 0]; with bucketed static shapes the padded
     gap can be larger, and padded frames are masked by the relative lens
-    downstream."""
+    downstream.
+
+    Frozen-trunk feature cache: with ``freeze: True`` the trunk is
+    deterministic (gradients stopped AND dropout disabled —
+    ``modules/wav2vec2.py`` ``train = train and not self.freeze``, matching
+    the reference wrapper's eval-mode freeze), so its output for a batch is
+    identical every epoch.  ``augment_device_batch`` therefore runs the
+    trunk ONCE per cached batch and attaches the length-matched features as
+    a ``w2v_feat`` batch key; ``_w2v_feats`` consumes them inside the
+    jitted step, and the 317M-param forward drops out of the per-step
+    graph entirely (the reference recomputes it every step).  Bit-exact:
+    the cached tensor is the same jit-compiled computation.  Opt out with
+    ``MLVAE_W2V_FROZEN_CACHE=0`` (e.g. to A/B step cost)."""
+
+    W2V_FEAT_KEY = "w2v_feat"
+
+    def augment_device_batch(self, dev):
+        dev = super().augment_device_batch(dev)
+        enc = self.modules.get("wav2vec2")
+        if (enc is None or not getattr(enc, "freeze", False)
+                or self.params is None or "wav2vec2" not in self.params
+                or "wav" not in dev or "feat" not in dev
+                or os.environ.get("MLVAE_W2V_FROZEN_CACHE", "1").lower()
+                in ("0", "false")):
+            return dev
+
+        fn = getattr(self, "_w2v_frozen_fn", None)
+        if fn is None:
+            def frozen_feats(params, wavs, T):
+                w2v = enc.apply(params, wavs, rng=None, train=False)
+                diff = T - w2v.shape[1]
+                if diff > 0:
+                    w2v = jnp.pad(w2v, ((0, 0), (0, diff), (0, 0)))
+                elif diff < 0:
+                    w2v = w2v[:, :T]
+                return w2v
+
+            fn = jax.jit(frozen_feats, static_argnums=2)
+            self._w2v_frozen_fn = fn
+        feats = fn(self.params["wav2vec2"], dev["wav"][0],
+                   int(dev["feat"][0].shape[1]))
+        out = dict(dev)
+        # relative lengths: reuse the fbank frame lens (downstream masking
+        # is driven by batch["feat"] lens; the w2v axis is length-matched)
+        out[self.W2V_FEAT_KEY] = (feats, dev["feat"][1])
+        return out
 
     def _w2v_feats(self, params, batch, stream, train):
+        cached = batch.get(self.W2V_FEAT_KEY)
+        if cached is not None:
+            return cached[0]
         wavs, _ = batch["wav"]
         w2v = self.modules["wav2vec2"].apply(
             params["wav2vec2"], wavs, rng=stream, train=train

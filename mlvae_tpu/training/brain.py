@@ -452,16 +452,25 @@ class Brain:
             out = shard_batch(self.mesh, out)
         return out
 
+    def augment_device_batch(self, dev: Dict[str, Tuple]) -> Dict[str, Tuple]:
+        """Hook: recipes may attach DERIVED device tensors to the batch
+        before it is cached — e.g. the w2v recipes precompute the frozen
+        wav2vec2 trunk's features once per batch instead of re-running the
+        317M-param forward inside every train/eval step
+        (``models/w2v_common.W2VMixin``).  Must be deterministic in the
+        batch contents (the result is reused across epochs)."""
+        return dev
+
     def _cached_device_batch(self, batch: PaddedBatch):
         if not self.cache_device_batches:
-            return self.to_device_batch(batch)
+            return self.augment_device_batch(self.to_device_batch(batch))
         used = self.used_batch_keys()
         key = (tuple(batch.ids),
                tuple(sorted(used)) if used is not None else None)
         hit = self._dev_batch_cache.get(key)
         if hit is not None:
             return hit
-        dev = self.to_device_batch(batch)
+        dev = self.augment_device_batch(self.to_device_batch(batch))
         nbytes = sum(
             int(np.prod(a.shape)) * a.dtype.itemsize
             for a, _ in dev.values()

@@ -122,3 +122,25 @@ def test_w2v_crdnn_cnncl_saves_posteriors_roundtrip(workdir):
     log = (workdir /
            "results/MD_VAE_sfl_saved_phn_recog_smoke/train_log.txt").read_text()
     assert "loss" in log
+
+
+def test_w2v_frozen_feature_cache_bit_exact(workdir, monkeypatch):
+    """The frozen-trunk feature cache (w2v_common.augment_device_batch)
+    must be a pure dispatch-granularity change: same jit-compiled trunk
+    computation, run once per cached batch instead of inside every step —
+    the training losses with and without it are bit-identical."""
+    import re
+    from mlvae_tpu.cli import train as train_cli
+
+    def run(name, cache_on):
+        monkeypatch.setenv("MLVAE_W2V_FROZEN_CACHE",
+                           "1" if cache_on else "0")
+        args = _args("w2v_MD_VAE", n_epochs=2)
+        args[args.index("--model_name") + 1] = name
+        train_cli.main(args)
+        log = (workdir / f"results/{name}/train_log.txt").read_text()
+        return re.findall(r"loss: ([0-9.]+)", log)
+
+    losses_cached = run("w2v_cacheA", True)
+    losses_plain = run("w2v_cacheB", False)
+    assert losses_cached and losses_cached == losses_plain
