@@ -121,6 +121,9 @@ class MDModel(Brain):
                     templates)
             if restored:
                 self._restore_state(restored, ckpt)
+                # restored trees are host arrays: re-apply TP/DP/ZeRO-1
+                # mesh placement (no-op on single-device runs)
+                self.place_restored_state()
 
     def on_stage_start(self, stage: Stage, epoch=None):
         self.stats_loggers = {}

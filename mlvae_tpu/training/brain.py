@@ -239,6 +239,10 @@ class Brain:
             )
             if "states" in restored:
                 self.states = restored["states"]
+                if self.mesh is not None:
+                    # restored host arrays: re-replicate over the mesh
+                    from mlvae_tpu.parallel.mesh import replicate
+                    self.states = replicate(self.mesh, self.states)
             self._pending_states_ckpt = None
 
     def init_optimizers(self):
@@ -361,7 +365,7 @@ class Brain:
                     ))
             return new_params, new_opt_states, new_states, loss, losses
 
-        return jax.jit(step)
+        return step
 
     # Prediction keys the host-side ``evaluate_predictions`` consumes; the
     # jitted eval step returns ONLY these (None = all, the safe default).
@@ -635,6 +639,34 @@ class Brain:
             self.params = shard_tree(self.mesh, self.params, specs)
             self.opt_states = self._place_opt_states(self.opt_states, specs)
             self._setup_zero1(specs)
+        elif bool(self.run_opts.get("zero1", False)):
+            logger.warning("--zero1 requested but this run has no device "
+                           "mesh (single device); optimizer-state sharding "
+                           "is inactive")
+
+    def place_restored_state(self):
+        """Re-apply mesh placement to freshly RESTORED state trees.
+
+        Checkpoint restore yields host arrays; assigning them raw would
+        silently drop the TP partition specs, the DP replication AND the
+        ZeRO-1 moment sharding that ``on_fit_start`` applied before the
+        restore ran (review finding: a resumed ``--zero1`` run would start
+        with fully replicated f32 moments — the exact residency ZeRO-1
+        removes).  Called by the resume path after ``_restore_state``."""
+        if self.mesh is None:
+            return
+        from mlvae_tpu.parallel.mesh import replicate
+        from mlvae_tpu.parallel.tp import shard_tree
+        specs = self._param_partition_specs(self.params)
+        self.params = shard_tree(self.mesh, self.params, specs)
+        self.opt_states = self._place_opt_states(self.opt_states, specs)
+        if self.states:
+            self.states = replicate(self.mesh, self.states)
+        if self._zero1_opts:
+            from mlvae_tpu.parallel.zero1 import zero1_place
+            for (name, mk) in self._zero1_opts:
+                self.opt_states[name][mk] = zero1_place(
+                    self.opt_states[name][mk], self.mesh)
 
     def _setup_zero1(self, param_specs):
         """Optional ZeRO-1: shard optimizer moments of replicated (non-TP)

@@ -124,23 +124,30 @@ def test_w2v_crdnn_cnncl_saves_posteriors_roundtrip(workdir):
     assert "loss" in log
 
 
-def test_w2v_frozen_feature_cache_bit_exact(workdir, monkeypatch):
+@pytest.mark.parametrize("bf16", [False, True], ids=["f32", "bf16"])
+def test_w2v_frozen_feature_cache_bit_exact(workdir, monkeypatch, bf16):
     """The frozen-trunk feature cache (w2v_common.augment_device_batch)
     must be a pure dispatch-granularity change: same jit-compiled trunk
     computation, run once per cached batch instead of inside every step —
-    the training losses with and without it are bit-identical."""
+    the training losses with and without it are bit-identical.  The bf16
+    arm pins the AMP-policy reproduction (cached features computed with
+    the same bf16-cast params/wavs the in-step path would use)."""
     import re
     from mlvae_tpu.cli import train as train_cli
+
+    tag = "bf" if bf16 else "f32"
 
     def run(name, cache_on):
         monkeypatch.setenv("MLVAE_W2V_FROZEN_CACHE",
                            "1" if cache_on else "0")
         args = _args("w2v_MD_VAE", n_epochs=2)
         args[args.index("--model_name") + 1] = name
+        if bf16:
+            args += ["--bf16", "True"]
         train_cli.main(args)
         log = (workdir / f"results/{name}/train_log.txt").read_text()
         return re.findall(r"loss: ([0-9.]+)", log)
 
-    losses_cached = run("w2v_cacheA", True)
-    losses_plain = run("w2v_cacheB", False)
+    losses_cached = run(f"w2v_cacheA_{tag}", True)
+    losses_plain = run(f"w2v_cacheB_{tag}", False)
     assert losses_cached and losses_cached == losses_plain
