@@ -1,11 +1,13 @@
 """Test entry point (parity with reference ``test.py``)."""
 import logging
 import sys
+import time
 
 from mlvae_tpu.cli.experiment import prepare_experiment
 
 
 def main(argv=None):
+    t0 = time.time()
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
     prepared = prepare_experiment(
         argv if argv is not None else sys.argv[1:], prepare_exp_dir=False
@@ -13,6 +15,8 @@ def main(argv=None):
     hparams = prepared["hparams"]
     _, _, test_dataset = prepared["datasets"]
     model = prepared["model"]
+    logging.getLogger(__name__).info(
+        "prepare_experiment: %.1fs", time.time() - t0)
     model.evaluate(
         test_dataset,
         max_key=hparams["model"].get("max_key"),

@@ -1188,9 +1188,11 @@ class Brain:
 
     def evaluate(self, test_set, max_key=None, min_key=None,
                  test_loader_kwargs=None, progressbar=None):
+        t0 = time.time()
         if self.params is None:
             self.init_params()
         self.on_evaluate_start(max_key=max_key, min_key=min_key)
+        t_restore = time.time()
         self.training = False
         epoch = self.current_epoch()
         self.on_stage_start(Stage.TEST, epoch)
@@ -1207,5 +1209,13 @@ class Brain:
                 if self.debug and i + 1 >= self.debug_batches:
                     break
             avg = float(np.mean(losses)) if losses else 0.0
+        t_eval = time.time()
         self.on_stage_end(Stage.TEST, avg, epoch)
+        # eval wall-clock breakdown (VERDICT r4 item 8: profile the warm
+        # cli.test path): restore = init + best-ckpt recall + state upload;
+        # eval = compile (cold) + scan dispatches + host metric loops;
+        # write = stats summaries + output files
+        logger.info(
+            "evaluate timing: restore %.1fs, eval %.1fs, write %.1fs",
+            t_restore - t0, t_eval - t_restore, time.time() - t_eval)
         return avg
