@@ -35,6 +35,9 @@ RUN_OPT_KEYS = {
     "async_ckpt": bool,
     # ZeRO-1 optimizer-state sharding over the data axis (parallel/zero1.py)
     "zero1": bool,
+    # False = reference-parity checkpoints (no optimizer state persisted;
+    # the reference's recoverables never include optimizers)
+    "ckpt_opt_state": bool,
 }
 
 

@@ -204,8 +204,23 @@ class MDModel(Brain):
     # ------------------------------------------------------------------
     def _checkpoint_state(self):
         state = {"params": self.params, "states": self.states}
-        for name, s in self.opt_states.items():
-            state[f"opt__{name}"] = s
+        # Persisting optimizer state is an ENHANCEMENT over the reference
+        # (its YAML recoverables list modules + epoch_counter only, e.g.
+        # MD_VAE/model.yaml:142-154 — SpeechBrain never checkpoints the
+        # optimizers, so a reference resume always restarts with fresh
+        # Adam moments).  --ckpt_opt_state False opts into the reference's
+        # behaviour; at w2v scale it cuts ~3.5 GiB of Adam moments from
+        # every snapshot's device->host fetch (~3 min/epoch through the
+        # axon tunnel — the dominant epoch cost of the fine-tune recipes).
+        if self.run_opts.get("ckpt_opt_state", True):
+            for name, s in self.opt_states.items():
+                state[f"opt__{name}"] = s
+        elif not getattr(self, "_warned_no_opt_ckpt", False):
+            self._warned_no_opt_ckpt = True
+            logger.warning(
+                "--ckpt_opt_state False: optimizer state excluded from "
+                "checkpoints (reference-parity mode); a resumed run "
+                "restarts with fresh optimizer moments")
         return state
 
     def _checkpoint_templates(self):

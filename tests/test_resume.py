@@ -151,3 +151,39 @@ def test_params_layout_change_still_raises(tmp_path):
         ckpt.load_checkpoint(
             c, templates={"params": {"enc2": {"w": np.zeros((2, 2),
                                                             np.float32)}}})
+
+
+def test_ckpt_opt_state_false_reference_parity(tmp_path, monkeypatch):
+    """--ckpt_opt_state False: snapshots carry no optimizer state (the
+    reference's recoverables never include optimizers) and a resumed fit
+    restarts cleanly with fresh moments."""
+    import os
+    from conftest import explicit_default_weights
+    from mlvae_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    yaml = f"{repo}/mlvae_tpu/models/test_vanilla_vae/model.yaml"
+    weights = explicit_default_weights(yaml)
+    args = [
+        f"{repo}/config/run.yaml",
+        "--dataset", "SynAudioMNIST", "--language", "digits",
+        "--n_phonemes", "12", "--model_class", "test_vanilla_vae",
+        "--model_name", "noopt", "--noprogressbar", "True",
+        "--ckpt_opt_state", "False",
+        "--model", f"!include:{yaml}",
+        "--extra_overrides", "{model: {n_epochs: 2, %s}}" % weights,
+    ]
+    train_cli.main(args)
+    ckpts = sorted((tmp_path / "results/noopt/checkpoints").glob("CKPT-*"))
+    assert ckpts
+    files = {p.name for p in ckpts[-1].iterdir()}
+    assert not any(f.startswith("opt__") for f in files), files
+    assert any(f.startswith("params") for f in files), files
+
+    # resume (fresh moments) and extend by one epoch — must not raise
+    args[args.index("--extra_overrides") + 1] = \
+        "{model: {n_epochs: 3, %s}}" % weights
+    train_cli.main(args)
+    log = (tmp_path / "results/noopt/train_log.txt").read_text()
+    assert "epoch: 3" in log
