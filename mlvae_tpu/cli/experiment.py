@@ -9,6 +9,7 @@ from __future__ import annotations
 import importlib
 import logging
 import shutil
+import time
 from pathlib import Path
 from typing import Dict, List
 
@@ -86,6 +87,7 @@ def prepare_experiment(args: List[str], prepare_exp_dir: bool = True) -> Dict:
 
     prepared = {"hparams": hparams, "run_opts": run_opts}
 
+    t_prep = time.time()
     dataset_name = hparams["dataset"]
     prepare_mod = importlib.import_module(
         f"mlvae_tpu.data.datasets.{dataset_name}.prepare"
@@ -95,6 +97,7 @@ def prepare_experiment(args: List[str], prepare_exp_dir: bool = True) -> Dict:
     datasets, label_encoder = prepare_datasets(hparams)
     prepared["datasets"] = datasets
     prepared["label_encoder"] = label_encoder
+    logger.info("dataset prepare+load: %.1fs", time.time() - t_prep)
 
     if "model_class" in hparams:
         model_class = hparams["model_class"]
