@@ -189,14 +189,21 @@ class Checkpointer:
         # HMM_DNN_ALI/model.yaml:13), returning None would make evaluate()
         # silently run freshly-initialized weights.  Fall back to the newest
         # checkpoint instead, loudly.
+        # Ties on the metric break toward the NEWEST checkpoint: degenerate
+        # training (e.g. a selection metric pinned at a base-rate pole)
+        # otherwise yields the epoch-1 save as "best", which both evaluates
+        # a nearly untrained model and trips the stale-checkpoint guard
+        # (observed: w2v_CRDNN_CTC, plvl_md.F1 identical every epoch).
         if max_key:
             keyed = [c for c in ckpts if max_key in c.meta]
             if keyed:
-                return max(keyed, key=lambda c: c.meta[max_key])
+                return max(keyed, key=lambda c: (c.meta[max_key],
+                                                 c.meta.get("unixtime", 0)))
         elif min_key:
             keyed = [c for c in ckpts if min_key in c.meta]
             if keyed:
-                return min(keyed, key=lambda c: c.meta[min_key])
+                return min(keyed, key=lambda c: (c.meta[min_key],
+                                                 -c.meta.get("unixtime", 0)))
         else:
             return newest
         import warnings
@@ -369,13 +376,19 @@ class Checkpointer:
         self.save_checkpoint(state, meta)
         keep = set()
         ckpts = self.list_checkpoints()
+        # same tie-to-newest rule as find_checkpoint, so the checkpoint
+        # retention and the evaluate-time recall agree on which tied save
+        # is "best"
         for key in max_keys or []:
             ranked = sorted([c for c in ckpts if key in c.meta],
-                            key=lambda c: c.meta[key], reverse=True)
+                            key=lambda c: (c.meta[key],
+                                           c.meta.get("unixtime", 0)),
+                            reverse=True)
             keep.update(str(c.path) for c in ranked[:num_to_keep])
         for key in min_keys or []:
             ranked = sorted([c for c in ckpts if key in c.meta],
-                            key=lambda c: c.meta[key])
+                            key=lambda c: (c.meta[key],
+                                           -c.meta.get("unixtime", 0)))
             keep.update(str(c.path) for c in ranked[:num_to_keep])
         if keep_recent or not keep:
             newest = max(ckpts, key=lambda c: c.meta.get("unixtime", 0))

@@ -285,3 +285,22 @@ def test_host_state_saves_keep_pin_accounting_balanced(tmp_path):
     ck.wait_device_release()
     assert ck._device_pinned == 0
     ck.close()
+
+
+def test_metric_tie_breaks_to_newest(tmp_path):
+    """Equal selection metrics (degenerate training pinned at a base-rate
+    pole) must select and retain the NEWEST tied checkpoint, not the
+    epoch-1 save (which would evaluate a nearly untrained model and trip
+    the stale-checkpoint guard)."""
+    ck = Checkpointer(tmp_path / "ckpts")
+    for epoch in (1, 2, 3):
+        ck.save_and_keep_only(
+            _state(epoch), meta={"F1": 35.85, "loss": 3.0, "epoch": epoch},
+            max_keys=["F1"], num_to_keep=1)
+    best = ck.find_checkpoint(max_key="F1")
+    assert best.meta["epoch"] == 3, best.meta
+    worst = ck.find_checkpoint(min_key="loss")
+    assert worst.meta["epoch"] == 3, worst.meta
+    # retention also kept the newest tied save
+    kept = [c.meta["epoch"] for c in ck.list_checkpoints()]
+    assert 3 in kept and 1 not in kept, kept
