@@ -48,7 +48,15 @@ class W2VMixin:
     def augment_device_batch(self, dev):
         dev = super().augment_device_batch(dev)
         enc = self.modules.get("wav2vec2")
+        # fit-scope only: in a single-pass standalone eval (cli.test) the
+        # cache has zero reuse, and the per-shape trunk programs it
+        # compiles leak host memory through the axon PJRT plugin — the
+        # round-5 f32 TEST run grew to 130 GB host RSS and was OOM-killed
+        # (runs/r5/logs/test_w2v_mdvae_f32.log).  During fit the shape set
+        # is bounded and revisited every epoch, where the cache took
+        # frozen-trunk epochs from 74 s to 2.2 s.
         if (enc is None or not getattr(enc, "freeze", False)
+                or not getattr(self, "_fitting", False)
                 or self.params is None or "wav2vec2" not in self.params
                 or "wav" not in dev or "feat" not in dev
                 or os.environ.get("MLVAE_W2V_FROZEN_CACHE", "1").lower()

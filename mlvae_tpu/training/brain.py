@@ -1077,6 +1077,10 @@ class Brain:
     def fit(self, epoch_counter, train_set, valid_set=None,
             train_loader_kwargs=None, valid_loader_kwargs=None,
             progressbar=None):
+        # fit-scope flag: derived-batch augmentation (frozen-trunk feature
+        # cache) only pays off when batches are revisited across epochs;
+        # recipes consult this to skip it in single-pass standalone evals
+        self._fitting = True
         self.on_fit_start()
         train_loader = self.make_dataloader(
             train_set, Stage.TRAIN, **(train_loader_kwargs or {})
@@ -1107,6 +1111,8 @@ class Brain:
             raise
         else:
             self.on_fit_end()
+        finally:
+            self._fitting = False
 
     def _fit_epochs(self, epoch_counter, train_loader, valid_loader,
                     profile):
