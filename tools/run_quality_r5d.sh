@@ -43,7 +43,12 @@ import sys; sys.path.insert(0, "$REPO")
 from pathlib import Path
 from mlvae_tpu.data.synth import generate_corpus
 root = Path("$WORK/datasets/SynAudioMNIST")
-if not (root / "original_dataset").exists():
+# Guard on the LAST file generate_corpus writes, not the directory: a
+# killed synthesis leaves a partial original_dataset/ that a dir-existence
+# check happily reuses (train then dies on the missing FA segmentation).
+if not (root / "original_dataset" / "forced_alignment_segmentation.json").exists():
+    import shutil
+    shutil.rmtree(root / "original_dataset", ignore_errors=True)
     generate_corpus(root, n_speakers=30, utts_per_speaker=75)
     print("corpus synthesized (seed 1234 — bit-identical to runs/r4)")
 EOF
