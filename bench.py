@@ -127,7 +127,14 @@ def run_bench() -> dict:
 
     platform = jax.devices()[0].platform
 
-    B, T, L = 128, 160, 8  # 128 x 3.2-second utterances per step
+    # 3.2-second utterances; B=256 is the v5e chip's saturation knee for
+    # this LSTM-bound step (measured r5: B=128 -> 21.9k, 256 -> 23.3k,
+    # 512 -> 23.4k utt-sec/sec — the T=160 recurrences underfill the MXU
+    # at small B, and past 256 the step is compute-bound).
+    B, T, L = 256, 160, 8
+    # test hooks (CPU smoke tests only — the driver runs the defaults):
+    B = int(os.environ.get("MLVAE_BENCH_B", B))
+    T = int(os.environ.get("MLVAE_BENCH_T", T))
     model = build_md_vae(batch_size=B)
     # AMP (bf16 streams, f32 loss math) by default; MLVAE_BENCH_PRECISION=f32
     # reproduces the documented full-f32 figure.
@@ -140,28 +147,72 @@ def run_bench() -> dict:
     model.ensure_states(int(batch["feat"][0].shape[-1]))
     model.init_optimizers()
 
-    step = model._get_compiled("train", Stage.TRAIN)
     rng = jax.random.PRNGKey(0)
     epoch = jnp.asarray(3, jnp.int32)
-
-    # warmup / compile
     params, opt_states, states = model.params, model.opt_states, model.states
-    params, opt_states, states, loss, _ = step(
-        params, opt_states, states, rng, batch, epoch
-    )
-    # block_until_ready is unreliable through the axon tunnel; a scalar
-    # fetch is a true sync (see docs/PERF.md).
-    float(loss)
 
-    iters = 30
-    t0 = time.perf_counter()
-    for i in range(iters):
+    # Dispatch granularity.  The production fit loop runs epochs as
+    # lax.scan over stacked same-shape batches (--scan_epoch, the default
+    # in every corpus campaign; brain._fit_epoch_scanned) precisely
+    # because the per-step path is dispatch-latency-bound through the
+    # axon tunnel (docs/PERF.md "bench session-variance").  The bench
+    # measures the same granularity: K steps per dispatch via the SAME
+    # scan builder the fit loop uses (brain._get_scan_fn).
+    # MLVAE_BENCH_SCAN_K=1 reproduces the per-step dispatch figure.
+    K = max(1, int(os.environ.get("MLVAE_BENCH_SCAN_K", "10")))
+    iters = 30  # total steps measured, at any K
+
+    def sync(x):
+        # block_until_ready is unreliable through the axon tunnel; a
+        # scalar fetch is a true sync (see docs/PERF.md).
+        return float(jnp.ravel(x)[-1])
+
+    mode = "per-step dispatch"
+    if K > 1:
+        try:
+            scan_fn = model._get_scan_fn(("bench", K), K)
+            stacked = jax.tree.map(lambda x: jnp.stack([x] * K), batch)
+
+            def rngs_for(d):
+                return jnp.stack(
+                    [jax.random.fold_in(rng, d * K + j) for j in range(K)]
+                )
+
+            n_dispatch = max(1, iters // K)
+            (params, opt_states, states), (loss, _) = scan_fn(
+                params, opt_states, states, rngs_for(n_dispatch), stacked,
+                epoch,
+            )
+            sync(loss)
+            t0 = time.perf_counter()
+            for d in range(n_dispatch):
+                (params, opt_states, states), (loss, _) = scan_fn(
+                    params, opt_states, states, rngs_for(d), stacked, epoch
+                )
+            sync(loss)
+            dt = (time.perf_counter() - t0) / (n_dispatch * K)
+            mode = f"scan-epoch dispatch (K={K})"
+        except Exception:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            sys.stderr.write("bench: scan mode failed, falling back to "
+                             "per-step dispatch\n")
+            K = 1  # fall through to the per-step loop below
+    if K == 1:
+        step = model._get_compiled("train", Stage.TRAIN)
         params, opt_states, states, loss, _ = step(
-            params, opt_states, states, jax.random.fold_in(rng, i), batch,
-            epoch,
+            params, opt_states, states, rng, batch, epoch
         )
-    float(loss)
-    dt = (time.perf_counter() - t0) / iters
+        sync(loss)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, opt_states, states, loss, _ = step(
+                params, opt_states, states, jax.random.fold_in(rng, i),
+                batch, epoch,
+            )
+        sync(loss)
+        dt = (time.perf_counter() - t0) / iters
 
     utt_sec_per_step = B * T * HOP_SEC
     throughput = utt_sec_per_step / dt
@@ -171,6 +222,7 @@ def run_bench() -> dict:
         "unit": "utt-sec/sec/chip",
         "vs_baseline": round(throughput / A100_REF_UTT_SEC_PER_SEC, 2),
         "platform": platform,
+        "mode": mode,
         "baseline_utt_sec_per_sec": A100_REF_UTT_SEC_PER_SEC,
         "baseline_source": _BASELINE_SOURCE,
     }
