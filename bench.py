@@ -198,6 +198,15 @@ def run_bench() -> dict:
             traceback.print_exc(file=sys.stderr)
             sys.stderr.write("bench: scan mode failed, falling back to "
                              "per-step dispatch\n")
+            # the failed dispatch may already have DONATED the state
+            # buffers (scan_fn donates argnums 0-2) — rebuild them so the
+            # fallback below never touches deleted arrays
+            model.init_params()
+            model.ensure_states(int(batch["feat"][0].shape[-1]))
+            model.init_optimizers()
+            params, opt_states, states = (
+                model.params, model.opt_states, model.states
+            )
             K = 1  # fall through to the per-step loop below
     if K == 1:
         step = model._get_compiled("train", Stage.TRAIN)
